@@ -1,0 +1,184 @@
+"""Residual-targeted smoothing of the per-second score distribution.
+
+The reference refits the frame-probability distribution every iteration with
+``scipy.interpolate.UnivariateSpline(visited, scores, s=0.5)`` evaluated on
+all frames, then applies sigmoid, a 1/N floor, and normalization (reference
+``TStar/interface_searcher.py:243-274``).
+
+FITPACK's spline (adaptive knot insertion, host-side, variable-size) does not
+map to XLA.  We solve the same variational problem on the fixed 1-fps grid
+instead: a weighted discrete smoothing spline (Whittaker-Eilers smoother with
+second-order differences),
+
+    minimize   sum_i w_i (f_i - y_i)^2  +  lam * sum_i (f_{i} - 2 f_{i+1} + f_{i+2})^2
+
+with w_i = 1 on visited seconds and 0 elsewhere, and ``lam`` selected so the
+weighted residual matches FITPACK's smoothing target ``s`` (the same
+residual-targeting rule UnivariateSpline uses).  The normal equations are a
+symmetric positive-definite pentadiagonal system solved by an LDL^T
+factorization expressed as two ``lax.scan`` passes, vmapped across a log-space
+``lam`` grid so one sweep evaluates the whole smoothing path at once.
+
+Known deviations from FITPACK (bounded downstream by sigmoid + floor +
+normalization; validated against scipy goldens in ``tests/test_smoother.py``):
+  * discrete second difference instead of the exact cubic-spline curvature
+    operator (they differ by a near-identity tridiagonal mass matrix);
+  * linear rather than cubic extrapolation outside the visited span.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+# log10(lam) sweep bounds: lam below 1e-5 is numerically an interpolant, above
+# 1e5 a straight line for score-scale data; two nested sweeps give ~0.08
+# decade resolution which is far below the downstream sensitivity.
+_LOG_LAM_LO = -5.0
+_LOG_LAM_HI = 5.0
+_SWEEP = 13  # lam values per sweep
+
+
+def _penta_diagonals(n_pad: int, n_valid: jax.Array, dtype) -> Tuple[jax.Array, ...]:
+    """Diagonals of D^T D for the second-difference matrix on the valid prefix."""
+    i = jnp.arange(n_pad)
+    nv = n_valid
+    d0 = (
+        (i <= nv - 3).astype(dtype)
+        + 4.0 * ((i >= 1) & (i <= nv - 2)).astype(dtype)
+        + ((i >= 2) & (i <= nv - 1)).astype(dtype)
+    )
+    d1 = jnp.where(
+        (i == 0) | (i == nv - 2), -2.0, jnp.where((i >= 1) & (i <= nv - 3), -4.0, 0.0)
+    ).astype(dtype)
+    d1 = jnp.where(i <= nv - 2, d1, 0.0)
+    d2 = (i <= nv - 3).astype(dtype)
+    return d0, d1, d2
+
+
+def _penta_solve_batch(
+    d0: jax.Array,  # (N, L) main diagonal
+    d1: jax.Array,  # (N, L) first superdiagonal  (d1[i] = A[i, i+1])
+    d2: jax.Array,  # (N, L) second superdiagonal (d2[i] = A[i, i+2])
+    b: jax.Array,   # (N, L) right-hand side
+) -> jax.Array:
+    """Solve A x = b for a batch of symmetric pentadiagonal SPD systems.
+
+    LDL^T recurrences (unit lower-triangular L with subdiagonals e, f):
+        f_i = d2[i-2] / D[i-2]
+        e_i = (d1[i-1] - f_i * D[i-2] * e_{i-1}) / D[i-1]
+        D_i = d0[i] - e_i^2 D[i-1] - f_i^2 D[i-2]
+    forward substitution z_i = b_i - e_i z_{i-1} - f_i z_{i-2}, then
+    x_i = z_i / D_i - e_{i+1} x_{i+1} - f_{i+2} x_{i+2} on the reverse pass.
+    """
+    n, batch = b.shape
+    zeros = jnp.zeros((batch,), b.dtype)
+    d1_im1 = jnp.concatenate([zeros[None], d1[:-1]], axis=0)
+    d2_im2 = jnp.concatenate([jnp.zeros((2, batch), b.dtype), d2[:-2]], axis=0)
+
+    def fwd(carry, inp):
+        D1, D2, e1, z1, z2 = carry  # values at i-1 / i-2
+        d0i, d1i, d2i, bi = inp
+        f = d2i / D2
+        e = (d1i - f * D2 * e1) / D1
+        D = d0i - e * e * D1 - f * f * D2
+        z = bi - e * z1 - f * z2
+        return (D, D1, e, z, z1), (D, e, f, z)
+
+    ones = jnp.ones((batch,), b.dtype)
+    init = (ones, ones, zeros, zeros, zeros)
+    _, (D, e, f, z) = jax.lax.scan(fwd, init, (d0, d1_im1, d2_im2, b))
+
+    w = z / D
+    e_ip1 = jnp.concatenate([e[1:], zeros[None]], axis=0)
+    f_ip2 = jnp.concatenate([f[2:], jnp.zeros((2, batch), b.dtype)], axis=0)
+
+    def bwd(carry, inp):
+        x1, x2 = carry  # x at i+1 / i+2
+        wi, ei, fi = inp
+        x = wi - ei * x1 - fi * x2
+        return (x, x1), x
+
+    _, x_rev = jax.lax.scan(bwd, (zeros, zeros), (w[::-1], e_ip1[::-1], f_ip2[::-1]))
+    return x_rev[::-1]
+
+
+def _sweep(
+    y: jax.Array,
+    weights: jax.Array,
+    pent: Tuple[jax.Array, jax.Array, jax.Array],
+    log_lams: jax.Array,  # (L,)
+) -> Tuple[jax.Array, jax.Array]:
+    """Solve the smoother for each lam; return (solutions (L, N), residuals (L,))."""
+    p0, p1, p2 = pent
+    lams = jnp.power(10.0, log_lams).astype(y.dtype)  # (L,)
+    # Pad rows with zero weight AND zero curvature rows get identity equations.
+    inactive = (weights == 0) & (p0 == 0)
+    d0 = weights[:, None] + lams[None, :] * p0[:, None]
+    d0 = jnp.where(inactive[:, None], 1.0, d0)
+    d1 = lams[None, :] * p1[:, None]
+    d2 = lams[None, :] * p2[:, None]
+    b = (weights * y)[:, None] * jnp.ones_like(lams)[None, :]
+    x = _penta_solve_batch(d0, d1, d2, b)  # (N, L)
+    resid = jnp.sum(weights[:, None] * (x - y[:, None]) ** 2, axis=0)  # (L,)
+    return x.T, resid
+
+
+@functools.partial(jax.jit, static_argnames=("smoothing",))
+def fit_smoother(
+    y: jax.Array,          # (N_pad,) observed scores
+    weights: jax.Array,    # (N_pad,) 1.0 on visited-and-valid seconds, else 0.0
+    n_valid: jax.Array,    # scalar int: true video length
+    smoothing: float = 0.5,
+) -> Tuple[jax.Array, jax.Array]:
+    """Fit the residual-targeted smoother; returns (fitted (N_pad,), log10 lam)."""
+    dtype = y.dtype
+    pent = _penta_diagonals(y.shape[0], n_valid, dtype)
+
+    def pick(log_lams, xs, resids):
+        # Largest lam whose residual stays within the target (most smoothing
+        # allowed by the residual budget), mirroring FITPACK's s-targeting.
+        ok = resids <= smoothing
+        idx = jnp.where(jnp.any(ok), jnp.max(jnp.where(ok, jnp.arange(len(log_lams)), -1)), 0)
+        return log_lams[idx], xs[idx], idx
+
+    coarse = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _SWEEP)
+    xs, resids = _sweep(y, weights, pent, coarse)
+    best_log, _, idx = pick(coarse, xs, resids)
+
+    step = (coarse[1] - coarse[0])
+    hi = jnp.minimum(best_log + step, _LOG_LAM_HI)
+    fine = best_log + (hi - best_log) * jnp.linspace(0.0, 1.0, _SWEEP)
+    xs2, resids2 = _sweep(y, weights, pent, fine)
+    best_log2, x_best, _ = pick(fine, xs2, resids2)
+    return x_best, best_log2
+
+
+def smoothing_spline_distribution(
+    score_distribution: jax.Array,  # (N_pad,)
+    visited: jax.Array,             # (N_pad,) bool
+    valid: jax.Array,               # (N_pad,) bool: true-length mask
+    n_valid: jax.Array,             # scalar int
+    smoothing: float = 0.5,
+) -> jax.Array:
+    """Reference ``spline_keyframe_distribution`` on the padded grid.
+
+    smooth(visited scores) -> max(1/N, .) -> sigmoid -> normalize
+    (interface_searcher.py:265-274).  Fewer than 2 visited seconds falls back
+    to uniform (the reference returns uniform at 0 and crashes at 1; we extend
+    the uniform branch to both).
+    """
+    dtype = score_distribution.dtype
+    w = (visited & valid).astype(dtype)
+    fitted, _ = fit_smoother(score_distribution, w, n_valid, smoothing=smoothing)
+
+    floor = 1.0 / n_valid.astype(dtype)
+    adjusted = jnp.maximum(floor, fitted)
+    p = jax.nn.sigmoid(adjusted) * valid.astype(dtype)
+    p = p / jnp.sum(p)
+
+    uniform = valid.astype(dtype) / n_valid.astype(dtype)
+    return jnp.where(jnp.sum(w) < 2, uniform, p)

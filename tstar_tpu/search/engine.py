@@ -1,0 +1,241 @@
+"""The T* search loop as a single on-device ``lax.while_loop``.
+
+Faithful, fixed-shape rewrite of the reference hot loop (reference
+``TStar/interface_searcher.py:444-491``; per-step math at ``:94-155`` splat,
+``:215-241`` window update, ``:243-274`` smoother, ``:276-321`` distribution
+update, ``:324-363`` sampling, ``:365-380`` final pop, ``:382-420``
+verification).  One iteration is one jitted ``search_step``; the whole search
+runs with zero host round-trips when the scorer is device-resident.
+
+Semantics preserved exactly (tested against a NumPy oracle seed-for-seed in
+``tests/test_engine.py``):
+  * iteration-0 uniform stride sampling, then quartile-masked resampling of
+    unvisited seconds with the ``(P + K/N)`` exploration bonus and the
+    not-enough-nonzero fallback (``:339-358``);
+  * direct score writes, then the order-dependent windowed max-splat over the
+    top quartile of this batch (``:308-313``);
+  * smoother -> sigmoid -> 1/N floor -> normalize (``:314-318``);
+  * verification AFTER the distribution update: rescore triggered frames,
+    overwrite their scores, and remove at most one target per frame — the
+    first remaining target (in slot order) that passes (``:399-419``);
+  * budget decrement per grid and the ``remaining and budget > 0`` exit
+    (``:457-461``); final keyframes sampled from the normalized score
+    distribution (``:365-380``) or deterministically via top-k.
+
+Stochasticity: the reference draws from an unseeded global NumPy RNG
+(``:353,372``); here every draw threads an explicit ``jax.random`` key, and
+sampling-without-replacement uses the Gumbel-top-k trick (distributionally
+identical; see ops/sampling.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tstar_tpu.ops.percentile import masked_percentile
+from tstar_tpu.ops.sampling import gumbel_topk_without_replacement, topk_indices, uniform_stride_indices
+from tstar_tpu.ops.smoother import smoothing_spline_distribution
+from tstar_tpu.ops.splat import window_splat
+from tstar_tpu.search.scorers import Scorer
+from tstar_tpu.search.state import SearchState
+from tstar_tpu.utils.config import SearchConfig
+
+
+def sample_frame_secs(state: SearchState, key: jax.Array, config: SearchConfig) -> jax.Array:
+    """Choose the K seconds to score this iteration (interface_searcher.py:324-363)."""
+    k = config.frames_per_iteration
+    valid = state.valid
+    nf = state.n_valid.astype(state.P.dtype)
+    bonus = k / nf
+
+    def first_iter(_):
+        return uniform_stride_indices(state.n_valid, k)
+
+    def later_iter(_):
+        non_visiting = (~state.visited).astype(state.P.dtype)
+        p_bonus = (state.P + bonus) * valid
+        weights = p_bonus * non_visiting
+        thr = masked_percentile(weights, config.top_percentile, valid)
+        masked = weights * (weights >= thr)
+        # Fallback when the quartile mask starves the sampler
+        # (interface_searcher.py:349-351): drop BOTH the mask and the
+        # non-visiting filter.
+        starved = (jnp.sum(masked) == 0) | (jnp.sum(masked > 0) < k)
+        weights = jnp.where(starved, p_bonus, masked)
+        idx, _ = gumbel_topk_without_replacement(key, weights, k)
+        return idx
+
+    return jax.lax.cond(state.iteration == 0, first_iter, later_iter, None)
+
+
+def _percentile_static(x: jax.Array, q: float) -> jax.Array:
+    """np.percentile('linear') over a fully-valid static-length vector."""
+    import math
+
+    s = jnp.sort(x)
+    pos = (x.shape[0] - 1) * (q / 100.0)
+    lo = math.floor(pos)
+    hi = math.ceil(pos)
+    frac = pos - lo
+    return s[lo] * (1.0 - frac) + s[hi] * frac
+
+
+def _apply_verification(
+    scores: jax.Array,
+    remaining: jax.Array,
+    secs: jax.Array,
+    grid_presence: jax.Array,  # (K, C)
+    scorer: Scorer,
+    config: SearchConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Sequential target verification (interface_searcher.py:382-420,481-486).
+
+    For each sampled frame, in order: if any *remaining* target appeared in
+    its grid cell, the frame's verification rescore overwrites its score, and
+    the first remaining target (slot order) that also appears in the
+    verification detections with confidence above the threshold is removed —
+    at most one removal per frame.  The verification forward is skipped
+    entirely when no frame can trigger (removals only shrink the trigger set).
+    """
+    t_max = config.max_targets
+    target_presence = grid_presence[:, :t_max]  # class slot t == target slot t
+    may_trigger = jnp.any(target_presence & remaining[None, :])
+
+    def do_verify(args):
+        scores, remaining = args
+        vconf, vpres = scorer.score_verify(secs)
+        vpres_t = vpres[:, :t_max]
+
+        def body(k, carry):
+            scores, remaining = carry
+            in_cell = target_presence[k] & remaining
+            triggered = jnp.any(in_cell)
+            scores = jnp.where(
+                triggered, scores.at[secs[k]].set(vconf[k]), scores
+            )
+            passing = in_cell & vpres_t[k] & (vconf[k] > config.confidence_threshold)
+            first = jnp.argmax(passing)
+            removed = remaining.at[first].set(False)
+            remaining = jnp.where(jnp.any(passing), removed, remaining)
+            return scores, remaining
+
+        return jax.lax.fori_loop(0, secs.shape[0], body, (scores, remaining))
+
+    return jax.lax.cond(
+        may_trigger, do_verify, lambda args: args, (scores, remaining)
+    )
+
+
+def search_step(
+    state: SearchState, scorer: Scorer, config: SearchConfig
+) -> Tuple[SearchState, Dict[str, jax.Array]]:
+    """One search iteration.  Returns (new state, aux for visualization)."""
+    k = config.frames_per_iteration
+    rng, sample_key = jax.random.split(state.rng)
+
+    secs = sample_frame_secs(state, sample_key, config)
+    budget = state.budget - k
+
+    conf, presence = scorer.score_grid(secs)
+
+    # Mark visited, write raw scores (interface_searcher.py:308-311).
+    scores = state.scores.at[secs].set(conf)
+    visited = state.visited.at[secs].set(True)
+
+    # Windowed top-quartile splat (:215-241) — all K batch entries are valid.
+    thr = _percentile_static(conf, config.top_percentile)
+    is_top = conf >= thr
+    scores = window_splat(scores, secs, is_top, state.n_valid, config.window_size)
+
+    # Refit the sampling distribution (:314-318) BEFORE verification.
+    p = smoothing_spline_distribution(
+        scores, visited, state.valid, state.n_valid, smoothing=config.spline_smoothing
+    )
+
+    # Verification may overwrite scores and remove targets (:481-486).
+    scores, remaining = _apply_verification(
+        scores, state.remaining, secs, presence, scorer, config
+    )
+
+    new_state = state.replace(
+        scores=scores,
+        visited=visited,
+        P=p,
+        remaining=remaining,
+        budget=budget,
+        iteration=state.iteration + 1,
+        rng=rng,
+    )
+    aux = {"secs": secs, "conf": conf, "presence": presence, "is_top": is_top}
+    return new_state, aux
+
+
+def pop_frame_secs(
+    state: SearchState, key: jax.Array, config: SearchConfig
+) -> jax.Array:
+    """Final keyframe seconds (sorted), from the normalized score distribution.
+
+    Mirrors ``pop_frames`` (interface_searcher.py:365-380): a stochastic draw
+    proportional to the scores.  ``deterministic_pop`` instead takes the top-k
+    (the eval-side variant, val_qa_results.py:106-110).
+    """
+    weights = state.scores * state.valid
+    if config.deterministic_pop:
+        secs = topk_indices(weights, config.search_nframes)
+    else:
+        secs, _ = gumbel_topk_without_replacement(key, weights, config.search_nframes)
+    return jnp.sort(secs)
+
+
+def _continue(state: SearchState) -> jax.Array:
+    return jnp.any(state.remaining) & (state.budget > 0)
+
+
+def run_search(
+    state: SearchState, scorer: Scorer, config: SearchConfig
+) -> Tuple[SearchState, jax.Array]:
+    """Full on-device search: while_loop + final pop.  Jit-friendly.
+
+    Returns (final state, sorted keyframe seconds (search_nframes,)).
+    """
+
+    def body(s: SearchState) -> SearchState:
+        return search_step(s, scorer, config)[0]
+
+    final = jax.lax.while_loop(_continue, body, state)
+    rng, pop_key = jax.random.split(final.rng)
+    final = final.replace(rng=rng)
+    secs = pop_frame_secs(final, pop_key, config)
+    return final, secs
+
+
+def run_search_with_history(
+    state: SearchState, scorer: Scorer, config: SearchConfig
+) -> Tuple[SearchState, jax.Array, List[Dict[str, Any]]]:
+    """Host-driven variant that snapshots per-iteration state for viz.
+
+    Same jitted ``search_step``; the outer loop runs on the host so histories
+    (P / scores / sampled grids) can be collected, mirroring the reference's
+    ``P_history`` / ``Score_history`` / grid-iteration artifacts
+    (interface_searcher.py:207-213,469-474).
+    """
+    step = jax.jit(lambda s: search_step(s, scorer, config))
+    history: List[Dict[str, Any]] = []
+    while bool(_continue(state)):
+        state, aux = step(state)
+        history.append(
+            {
+                "P": jax.device_get(state.P),
+                "scores": jax.device_get(state.scores),
+                "visited": jax.device_get(state.visited),
+                "secs": jax.device_get(aux["secs"]),
+                "conf": jax.device_get(aux["conf"]),
+            }
+        )
+    rng, pop_key = jax.random.split(state.rng)
+    state = state.replace(rng=rng)
+    secs = jax.jit(lambda s, k: pop_frame_secs(s, k, config))(state, pop_key)
+    return state, secs, history
