@@ -1,0 +1,133 @@
+"""CLIP-style pre-norm transformer blocks shared by the vision models.
+
+TPU notes: attention and MLP matmuls are expressed as single large einsums so
+XLA tiles them onto the MXU; compute dtype is configurable (bfloat16 on TPU,
+float32 for parity tests) while parameters stay float32.  Sequence lengths in
+this framework are small and static (577 vision tokens, 16 text tokens), so
+plain softmax attention is the right choice — no flash-attention kernel is
+needed at these sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def quick_gelu(x: jax.Array) -> jax.Array:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+ACTIVATIONS: dict[str, Callable] = {
+    "quick_gelu": quick_gelu,
+    "gelu": nn.gelu,
+    "silu": nn.silu,
+}
+
+
+class MultiHeadAttention(nn.Module):
+    """Standard multi-head attention with combined-projection einsums."""
+
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,                      # (B, S, D)
+        attn_bias: Optional[jax.Array] = None,  # broadcastable to (B, H, S, S)
+    ) -> jax.Array:
+        d = x.shape[-1]
+        assert d % self.num_heads == 0
+        head_dim = d // self.num_heads
+        dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
+
+        q = dense("q_proj")(x)
+        k = dense("k_proj")(x)
+        v = dense("v_proj")(x)
+
+        def split(t):
+            return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
+
+        q, k, v = split(q), split(k), split(v)
+        scale = head_dim ** -0.5
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
+        if attn_bias is not None:
+            logits = logits + attn_bias.astype(logits.dtype)
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        out = out.reshape(*x.shape[:-1], d)
+        return dense("out_proj")(out)
+
+
+class TransformerMLP(nn.Module):
+    intermediate_size: int
+    activation: str = "quick_gelu"
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        h = ACTIVATIONS[self.activation](h)
+        return nn.Dense(d, dtype=self.dtype, name="fc2")(h)
+
+
+class EncoderLayer(nn.Module):
+    """Pre-norm block: x += attn(ln1(x)); x += mlp(ln2(x))."""
+
+    num_heads: int
+    intermediate_size: int
+    activation: str = "quick_gelu"
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array] = None) -> jax.Array:
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="self_attn")(
+            h, attn_bias
+        )
+        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        x = x + TransformerMLP(
+            self.intermediate_size, self.activation, dtype=self.dtype, name="mlp"
+        )(h)
+        return x
+
+
+class Encoder(nn.Module):
+    num_layers: int
+    num_heads: int
+    intermediate_size: int
+    activation: str = "quick_gelu"
+    eps: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array] = None) -> jax.Array:
+        for i in range(self.num_layers):
+            x = EncoderLayer(
+                self.num_heads,
+                self.intermediate_size,
+                self.activation,
+                self.eps,
+                dtype=self.dtype,
+                name=f"layers_{i}",
+            )(x, attn_bias)
+        return x
+
+
+def causal_bias(seq_len: int, dtype=jnp.float32) -> jax.Array:
+    """Additive causal mask of shape (1, 1, S, S)."""
+    mask = jnp.tril(jnp.ones((seq_len, seq_len), bool))
+    neg = jnp.finfo(dtype).min
+    return jnp.where(mask, 0.0, neg)[None, None].astype(dtype)
+
+
+def padding_bias(attention_mask: jax.Array, dtype=jnp.float32) -> jax.Array:
+    """Additive key-padding mask (B, 1, 1, S) from a 0/1 mask (B, S)."""
+    neg = jnp.finfo(dtype).min
+    return jnp.where(attention_mask[:, None, None, :] > 0, 0.0, neg).astype(dtype)
