@@ -1,0 +1,96 @@
+"""Integration: full search loop driven by the OWL-ViT scorer (tiny model).
+
+Random weights can't detect anything meaningful, so these tests check the
+plumbing contracts: shapes, determinism, jit-ability of the entire
+pixels -> detector -> splat -> search pipeline, and the prompt/weight layout.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tstar_tpu.models.clip_tokenizer import HashTokenizer
+from tstar_tpu.models.owlvit import OwlViTConfig, OwlViTDetector, TextConfig, VisionConfig
+from tstar_tpu.search.detector_scorer import make_owlvit_scorer
+from tstar_tpu.search.engine import run_search
+from tstar_tpu.search.state import init_state
+from tstar_tpu.utils.config import SearchConfig
+
+TINY = OwlViTConfig(
+    vision=VisionConfig(
+        hidden_size=32, num_layers=2, num_heads=4, intermediate_size=64,
+        patch_size=16, image_size=64,
+    ),
+    text=TextConfig(
+        vocab_size=100, hidden_size=24, num_layers=2, num_heads=4,
+        intermediate_size=48, max_length=8,
+    ),
+    projection_dim=24,
+)
+
+CFG = SearchConfig(search_budget=0.5)
+
+
+@pytest.fixture(scope="module")
+def scorer_and_state():
+    model = OwlViTDetector(TINY, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    n_valid = 150
+    n_pad = CFG.padded_frames(n_valid)
+    cache = jnp.asarray(
+        rng.integers(0, 256, size=(n_pad, 20, 40, 3), dtype=np.uint8)
+    )
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, 64, 64, 3), jnp.float32),
+        jnp.zeros((2, 8), jnp.int32),
+    )
+    tok = HashTokenizer(vocab_size=100, context=8)
+    scorer = make_owlvit_scorer(
+        model, variables, cache,
+        target_objects=["couch", "lamp"], cue_objects=["tv", "chair"],
+        tokenizer=tok, config=CFG,
+    )
+    state = init_state(n_valid, 2, CFG, jax.random.key(1), n_pad=n_pad)
+    return scorer, state, n_valid
+
+
+class TestScorerContracts:
+    def test_score_grid_shapes(self, scorer_and_state):
+        scorer, state, _ = scorer_and_state
+        secs = jnp.arange(16, dtype=jnp.int32) * 9
+        conf, presence = jax.jit(scorer.score_grid)(secs)
+        assert conf.shape == (16,)
+        assert presence.shape == (16, CFG.max_objects)
+        assert bool(jnp.all(jnp.isfinite(conf)))
+        assert bool(jnp.all(conf >= 0))
+
+    def test_score_verify_shapes(self, scorer_and_state):
+        scorer, state, _ = scorer_and_state
+        secs = jnp.arange(16, dtype=jnp.int32)
+        conf, presence = jax.jit(scorer.score_verify)(secs)
+        assert conf.shape == (16,)
+        assert presence.shape == (16, CFG.max_objects)
+        assert bool(jnp.all(jnp.isfinite(conf)))
+
+    def test_prompt_layout(self, scorer_and_state):
+        scorer, _, _ = scorer_and_state
+        w = np.asarray(scorer.class_weights)
+        np.testing.assert_allclose(w[:2], 1.0)   # targets
+        np.testing.assert_allclose(w[2:], 0.5)   # cues + pad prompt + padding
+        m = np.asarray(scorer.query_mask)
+        assert m[:5].all()        # 2 targets + 2 cues + ' '
+        assert not m[5:].any()    # masked padding rows
+        assert np.isfinite(np.asarray(scorer.query_embeds)).all()
+
+    def test_full_search_jits_and_is_deterministic(self, scorer_and_state):
+        scorer, state, _ = scorer_and_state
+        run = jax.jit(lambda s: run_search(s, scorer, CFG))
+        final1, secs1 = run(state)
+        final2, secs2 = run(state)
+        np.testing.assert_array_equal(np.asarray(secs1), np.asarray(secs2))
+        assert int(final1.iteration) >= 1
+        assert np.isfinite(np.asarray(final1.P)).all()
+        # budget arithmetic: 150 * 0.5 = 75 -> at most 5 iterations
+        assert int(final1.iteration) <= 5

@@ -7,3 +7,4 @@ from tstar_tpu.search.engine import (  # noqa: F401
     pop_frame_secs,
 )
 from tstar_tpu.search.scorers import TableScorer  # noqa: F401
+from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer  # noqa: F401

@@ -1,0 +1,149 @@
+"""Scorer backed by the Flax OWL-ViT over an HBM-resident frame cache.
+
+This is the production counterpart of the reference's detector plumbing
+(``TStar/interface_searcher.py:94-155`` imageGridScoreFunction over
+``interface_heuristic.py:232-257`` OWLInterface.inference_detector): sampled
+seconds are gathered from the device-resident 1-fps frame cache, packed into
+one grid image, scored by a single batched OWL-ViT forward, and the
+detections splatted back to per-frame confidences and class-presence masks —
+entirely inside the jitted search step, zero host round-trips.
+
+Text prompts are tokenized and encoded ONCE when the scorer is built
+(mirroring ``reparameterize_object_list``, interface_searcher.py:87), then
+reused every iteration.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from tstar_tpu.kernels.image import build_detector_grid, build_verify_batch
+from tstar_tpu.models.owlvit import OwlViTDetector, postprocess_detections
+from tstar_tpu.ops.splat import splat_detections_to_cells
+from tstar_tpu.utils.config import SearchConfig
+
+
+@struct.dataclass
+class OwlVitScorer:
+    cache: jax.Array          # (N_pad, ch, cw, 3) uint8 1-fps frame cache
+    variables: Any            # detector params pytree
+    query_embeds: jax.Array   # (Q, proj_dim) precomputed text embeddings
+    query_mask: jax.Array     # (Q,) bool: real prompts
+    class_weights: jax.Array  # (Q,) f32: target 1.0 / cue 0.5 / pad 0.5
+    model: OwlViTDetector = struct.field(pytree_node=False)
+    config: SearchConfig = struct.field(pytree_node=False)
+
+    @property
+    def num_classes(self) -> int:
+        return self.query_embeds.shape[0]
+
+    def _detect(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        feats = self.model.apply(
+            self.variables, pixels, method=OwlViTDetector.encode_image
+        )
+        logits, boxes = self.model.apply(
+            self.variables, feats, self.query_embeds, self.query_mask,
+            method=OwlViTDetector.predict,
+        )
+        size = self.model.cfg.vision.image_size
+        return postprocess_detections(logits, boxes, (size, size))
+
+    def score_grid(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        grid_shape = (cfg.grid_rows, cfg.grid_cols)
+        size = self.model.cfg.vision.image_size
+        pixels = build_detector_grid(
+            self.cache, secs, grid_shape, size, dtype=self.model.dtype
+        )
+        scores, class_ids, boxes = self._detect(pixels)
+        keep = scores[0] > cfg.detector_threshold
+        conf_map, presence = splat_detections_to_cells(
+            boxes[0], scores[0], class_ids[0], keep, self.class_weights,
+            grid_shape=grid_shape, image_hw=(size, size),
+            num_classes=self.num_classes,
+        )
+        return conf_map.reshape(-1), presence
+
+    def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        size = self.model.cfg.vision.image_size
+        pixels = build_verify_batch(self.cache, secs, size, dtype=self.model.dtype)
+        scores, class_ids, boxes = self._detect(pixels)
+        keep = scores > cfg.detector_threshold
+
+        def one(b, s, c, k):
+            conf_map, presence = splat_detections_to_cells(
+                b, s, c, k, self.class_weights,
+                grid_shape=(1, 1), image_hw=(size, size),
+                num_classes=self.num_classes,
+            )
+            return conf_map[0, 0], presence[0]
+
+        conf, presence = jax.vmap(one)(boxes, scores, class_ids, keep)
+        return conf, presence
+
+
+def make_owlvit_scorer(
+    model: OwlViTDetector,
+    variables: Any,
+    cache: jax.Array,
+    target_objects: Sequence[str],
+    cue_objects: Sequence[str],
+    tokenizer,
+    config: SearchConfig,
+) -> OwlVitScorer:
+    """Build the scorer: tokenize prompts, encode text once, fix weights.
+
+    Prompt layout mirrors the reference (interface_searcher.py:87-91 +
+    interface_heuristic.py:268-280): targets first (weight 1.0), then cues
+    (0.5), then the ' ' padding prompt (0.5), padded with masked zero rows to
+    ``config.max_objects`` so shapes stay static.  Target slot t of the
+    engine's remaining-mask corresponds to class slot t here.
+    """
+    n_targets = len(target_objects)
+    if n_targets > config.max_targets:
+        raise ValueError(
+            f"{n_targets} targets > max_targets={config.max_targets}; "
+            "raise SearchConfig.max_targets"
+        )
+    texts: List[str] = [t.strip() for t in target_objects] + [
+        c.strip() for c in cue_objects
+    ] + [" "]
+    if len(texts) > config.max_objects:
+        raise ValueError(
+            f"{len(texts)} prompts > max_objects={config.max_objects}; "
+            "raise SearchConfig.max_objects"
+        )
+
+    ids, mask = tokenizer.encode_batch(texts)
+    q = config.max_objects
+    ids_pad = np.zeros((q, ids.shape[1]), np.int32)
+    mask_pad = np.zeros((q, ids.shape[1]), np.int32)
+    ids_pad[: len(texts)] = ids
+    mask_pad[: len(texts)] = mask
+    # Padding rows attend to their first (zero) token so the text tower stays
+    # finite; their outputs are discarded via query_mask anyway.
+    mask_pad[len(texts):, 0] = 1
+
+    query_embeds = model.apply(
+        variables, jnp.asarray(ids_pad), jnp.asarray(mask_pad),
+        method=OwlViTDetector.encode_text,
+    )
+    query_mask = jnp.asarray(ids_pad[:, 0] > 0)
+
+    weights = np.full((q,), config.cue_weight, np.float32)
+    weights[:n_targets] = config.target_weight
+    return OwlVitScorer(
+        cache=cache,
+        variables=variables,
+        query_embeds=query_embeds,
+        query_mask=query_mask,
+        class_weights=jnp.asarray(weights),
+        model=model,
+        config=config,
+    )
