@@ -1,0 +1,122 @@
+"""Video decode service tests: native FFmpeg vs OpenCV parity, cache build."""
+
+import numpy as np
+import pytest
+
+from tstar_tpu.utils.config import SearchConfig
+from tstar_tpu.video.cache import build_frame_cache
+from tstar_tpu.video.decoder import Cv2Decoder, NativeDecoder, open_video
+from tstar_tpu.video.synthetic import (
+    PlantedObject,
+    second_intensity,
+    write_synthetic_video,
+)
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def video(tmp_path_factory):
+    d = tmp_path_factory.mktemp("videos")
+    path = str(d / "scene.mp4")
+    meta = write_synthetic_video(
+        path,
+        duration_sec=40.0,
+        fps=10.0,
+        hw=(96, 160),
+        objects=[PlantedObject("couch", (20.0, 25.0), (200, 40, 40), (0.5, 0.5), 0.5)],
+    )
+    return path, meta
+
+
+def _native_or_skip(path):
+    try:
+        return NativeDecoder(path)
+    except RuntimeError:
+        pytest.skip("native decoder unavailable")
+
+
+class TestProbe:
+    def test_native_matches_cv2(self, video):
+        path, meta = video
+        nat = _native_or_skip(path)
+        cv = Cv2Decoder(path)
+        assert nat.meta.fps == pytest.approx(cv.meta.fps, rel=1e-3)
+        assert nat.meta.total_frames == cv.meta.total_frames == meta["n_frames"]
+        assert (nat.meta.width, nat.meta.height) == (160, 96)
+        nat.close()
+        cv.close()
+
+
+class TestDecodeBatch:
+    def test_frames_match_cv2_and_ground_truth(self, video):
+        path, meta = video
+        nat = _native_or_skip(path)
+        cv = Cv2Decoder(path)
+        indices = [0, 55, 113, 250, 399, 7]   # unsorted on purpose
+        got = nat.decode_batch(indices)
+        want = cv.decode_batch(indices)
+        for i, idx in enumerate(indices):
+            # mp4v is lossy: compare mean intensity to the planted code
+            sec = int(idx / meta["fps"])
+            bg = second_intensity(sec)
+            assert abs(float(got[i, :20, :20].mean()) - bg) < 6, (i, idx)
+            assert abs(float(got[i].mean()) - float(want[i].mean())) < 3
+        nat.close()
+        cv.close()
+
+    def test_resized_output(self, video):
+        path, _ = video
+        nat = _native_or_skip(path)
+        out = nat.decode_batch([10, 20], out_hw=(48, 80))
+        assert out.shape == (2, 48, 80, 3)
+        nat.close()
+
+
+class TestDecodeSweep:
+    def test_one_frame_per_second(self, video):
+        path, meta = video
+        nat = _native_or_skip(path)
+        frames = nat.decode_sweep(1.0, 40, out_hw=(48, 80))
+        assert frames.shape == (40, 48, 80, 3)
+        for sec in [0, 7, 19, 33, 39]:
+            bg = second_intensity(sec)
+            assert abs(float(frames[sec, :10, :10].mean()) - bg) < 6, sec
+        # planted object visible at 20..24 (red square center)
+        center = frames[22, 24, 40]
+        assert center[0] > 120 and center[2] < 120
+        nat.close()
+
+    def test_count_beyond_eof_pads(self, video):
+        path, _ = video
+        nat = _native_or_skip(path)
+        frames = nat.decode_sweep(1.0, 45, out_hw=(24, 40))
+        assert frames.shape[0] == 45
+        np.testing.assert_array_equal(frames[44], frames[39])
+        nat.close()
+
+
+class TestFrameCache:
+    def test_build(self, video):
+        path, meta = video
+        cfg = SearchConfig(cache_hw=(48, 80), grid_rows=4, grid_cols=4)
+        cache = build_frame_cache(path, cfg)
+        assert cache.n_valid == 40
+        assert cache.frames.shape == (128, 48, 80, 3)
+        assert cache.raw_fps == pytest.approx(10.0, rel=1e-3)
+        arr = np.asarray(cache.frames)
+        assert (arr[40:] == 0).all()
+        bg = second_intensity(13)
+        assert abs(float(arr[13, :10, :10].mean()) - bg) < 6
+
+    def test_too_short_video_raises(self, tmp_path):
+        path = str(tmp_path / "short.mp4")
+        write_synthetic_video(path, duration_sec=5.0, fps=10.0, hw=(48, 64))
+        with pytest.raises(ValueError, match="too short"):
+            build_frame_cache(path, SearchConfig(cache_hw=(24, 32)))
+
+
+class TestOpenVideo:
+    def test_missing_file_raises(self):
+        with pytest.raises(ValueError):
+            open_video("/nonexistent/video.mp4")
