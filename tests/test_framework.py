@@ -1,0 +1,137 @@
+"""End-to-end framework tests: synthetic mp4 -> search -> keyframes -> QA.
+
+The hermetic full-pipeline slice (SURVEY.md §4 rebuild plan item b/c): a
+fixture video with planted objects, the color-probe detector, and the fake
+grounder exercise every layer with no weights or network, and keyframe
+*recall* is asserted against the planted ground truth.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from tstar_tpu.framework.framework import TStarFramework, run_tstar
+from tstar_tpu.framework.heuristics import initialize_heuristic
+from tstar_tpu.grounding.fake import FakeGrounder
+from tstar_tpu.grounding.prompts import (
+    GroundingParseError,
+    normalize_object_name,
+    parse_grounding_response,
+)
+from tstar_tpu.search.searcher import KeyframeSearcher
+from tstar_tpu.video.synthetic import default_scene
+
+cv2 = pytest.importorskip("cv2")
+
+
+@pytest.fixture(scope="module")
+def scene(tmp_path_factory):
+    d = tmp_path_factory.mktemp("scene")
+    path = str(d / "scene.mp4")
+    meta = default_scene(path, duration_sec=120.0)
+    return path, meta
+
+
+class TestSearcherEndToEnd:
+    def test_finds_planted_object(self, scene):
+        path, meta = scene
+        heuristic = initialize_heuristic("color-probe")
+        searcher = KeyframeSearcher(
+            video_path=path,
+            heuristic=heuristic,
+            target_objects=["couch"],
+            cue_objects=["tv"],
+            search_budget=1.0,
+            confidence_threshold=0.5,
+            seed=3,
+        )
+        frames, timestamps = searcher.search()
+        assert len(frames) == 8 and len(timestamps) == 8
+        assert timestamps == sorted(timestamps)
+        # 'couch' visible 70-80 s: the search must verify-find it...
+        assert searcher.remaining_targets == []
+        # ...and concentrate keyframes near the event.
+        gt = set(meta["gt_seconds"]["couch"])
+        hits = sum(1 for t in timestamps if any(abs(t - g) <= 5 for g in gt))
+        assert hits >= 2, (timestamps, sorted(gt))
+
+    def test_visualization_histories(self, scene):
+        path, _ = scene
+        heuristic = initialize_heuristic("color-probe")
+        searcher = KeyframeSearcher(
+            video_path=path,
+            heuristic=heuristic,
+            target_objects=["couch"],
+            cue_objects=["tv"],
+            search_budget=0.5,
+            confidence_threshold=0.5,
+            seed=0,
+        )
+        frames, timestamps = searcher.search_with_visualization()
+        n_iters = len(searcher.P_history)
+        assert n_iters >= 1
+        assert len(searcher.Score_history) == n_iters
+        assert len(searcher.sampled_history) == n_iters
+        assert len(searcher.P_history[-1]) == searcher.total_frame_num
+        p = np.asarray(searcher.P_history[-1])
+        assert p.sum() == pytest.approx(1.0, abs=1e-4)
+        grids = searcher.grid_images()
+        assert len(grids) == n_iters
+        assert grids[0].shape == (4 * 95, 4 * 200, 3)
+
+
+class TestFrameworkRun:
+    def test_full_run_with_fakes(self, scene, tmp_path):
+        path, meta = scene
+        fw = TStarFramework(
+            video_path=path,
+            heuristic=initialize_heuristic("color-probe"),
+            grounder=FakeGrounder(
+                target_objects=["couch"], cue_objects=["tv"], qa_answer="B"
+            ),
+            question="What is the color of the couch?",
+            options="A) Blue\nB) Red\nC) Green\nD) White",
+            output_dir=str(tmp_path / "out"),
+            confidence_threshold=0.5,
+            search_budget=1.0,
+        )
+        results = fw.run()
+        assert set(results) == {"Grounding Objects", "Frame Timestamps", "Answer"}
+        assert results["Answer"] == "B"
+        assert results["Grounding Objects"]["target_objects"] == ["couch"]
+        assert len(results["Frame Timestamps"]) == 8
+        # artifacts written
+        run_dir = fw.output_dir
+        assert os.path.exists(os.path.join(run_dir, "score_distribution.png"))
+        assert os.path.exists(os.path.join(run_dir, "search_iterations.gif"))
+        frames_dir = os.path.join(run_dir, "frames")
+        assert len(os.listdir(frames_dir)) == 8
+
+    def test_run_tstar_one_shot(self, scene, tmp_path):
+        path, _ = scene
+        results = run_tstar(
+            video_path=path,
+            question="Where is the couch?",
+            options="A) Left\nB) Right",
+            grounder="fake",
+            heuristic="color-probe",
+            search_budget=0.5,
+            output_dir=str(tmp_path / "out2"),
+        )
+        assert "Frame Timestamps" in results and "Answer" in results
+
+
+class TestGroundingParsing:
+    def test_normalize(self):
+        assert normalize_object_name(" Key objects: 1. Couch! ") == "couch"
+        assert normalize_object_name("2. TV-set.") == "tv-set"
+        assert normalize_object_name("cue objects: lamp,") == "lamp"
+
+    def test_two_line_contract(self):
+        t, c = parse_grounding_response("couch, sofa\ntv, chair")
+        assert t == ["couch", "sofa"] and c == ["tv", "chair"]
+        with pytest.raises(GroundingParseError):
+            parse_grounding_response("just one line")
+        with pytest.raises(GroundingParseError):
+            parse_grounding_response("a\nb\nc")

@@ -1,0 +1,178 @@
+"""Detector backend registry: string name -> scorer factory.
+
+Counterpart of the reference's ``initialize_heuristic``
+(``TStar/TStarFramework.py:171-187``: 'owl-vit' -> OWLInterface,
+'yolo-World' -> YoloWorldInterface, else NotImplementedError).  A backend
+here is an object that, given a device frame cache and the grounded objects,
+builds a jittable ``Scorer`` for the search engine — the equivalent of the
+reference's ``reparameterize_object_list`` + detector binding
+(interface_searcher.py:85-91).
+
+Backends:
+  * ``owl-vit``        — Flax OWL-ViT from a local HF checkpoint directory.
+  * ``owl-vit-random`` — same architecture, random weights (benchmarks /
+                         smoke tests; no checkpoint needed).
+  * ``color-probe``    — weight-free detector that scores frames by colored-
+                         region matching; the hermetic end-to-end backend for
+                         synthetic fixture videos (plays the role the fake
+                         LlavaInterface plays for the reference's grounder).
+  * ``yolo-world``     — text-conditioned YOLO-class detector (planned;
+                         raises NotImplementedError like the reference's
+                         unknown-backend branch).
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Dict, Optional, Protocol, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tstar_tpu.search.scorers import Scorer, TableScorer
+from tstar_tpu.utils.config import SearchConfig
+
+logger = logging.getLogger(__name__)
+
+
+class HeuristicBackend(Protocol):
+    name: str
+
+    def build_scorer(
+        self,
+        cache: jax.Array,            # (N_pad, ch, cw, 3) uint8
+        target_objects: Sequence[str],
+        cue_objects: Sequence[str],
+        config: SearchConfig,
+    ) -> Scorer: ...
+
+
+class OwlVitHeuristic:
+    """Flax OWL-ViT backend (reference default, TStarFramework.py:175-179)."""
+
+    def __init__(self, checkpoint_dir: Optional[str] = None, dtype=None, seed: int = 0):
+        import jax.numpy as jnp
+
+        from tstar_tpu.models.owlvit import OwlViTDetector, owlvit_base_patch32
+
+        self.name = "owl-vit" if checkpoint_dir else "owl-vit-random"
+        dtype = dtype if dtype is not None else jnp.bfloat16
+        if checkpoint_dir:
+            from tstar_tpu.models.loader import load_owlvit_checkpoint
+
+            self.model, self.variables, self.tokenizer = load_owlvit_checkpoint(
+                checkpoint_dir, dtype=dtype
+            )
+        else:
+            from tstar_tpu.models.clip_tokenizer import HashTokenizer
+
+            cfg = owlvit_base_patch32()
+            self.model = OwlViTDetector(cfg, dtype=dtype)
+            self.variables = self.model.init(
+                jax.random.key(seed),
+                jnp.zeros((1, cfg.vision.image_size, cfg.vision.image_size, 3), dtype),
+                jnp.zeros((2, cfg.text.max_length), jnp.int32),
+            )
+            self.tokenizer = HashTokenizer(
+                vocab_size=cfg.text.vocab_size, context=cfg.text.max_length
+            )
+
+    def build_scorer(self, cache, target_objects, cue_objects, config):
+        from tstar_tpu.search.detector_scorer import make_owlvit_scorer
+
+        return make_owlvit_scorer(
+            self.model, self.variables, cache,
+            target_objects, cue_objects, self.tokenizer, config,
+        )
+
+
+# Default palette for synthetic fixtures (video/synthetic.py default_scene).
+DEFAULT_COLOR_MAP: Dict[str, Tuple[int, int, int]] = {
+    "couch": (200, 40, 40),
+    "tv": (40, 40, 200),
+    "chair": (40, 200, 40),
+    "table": (200, 200, 40),
+    "person": (200, 40, 200),
+    "lamp": (40, 200, 200),
+}
+
+
+class ColorProbeHeuristic:
+    """Weight-free detector: confidence = colored-region coverage per frame.
+
+    For each object name with a known color, a frame's confidence is the
+    fraction of pixels within tolerance of that color, scaled into a
+    detector-like confidence.  Produces per-second tables consumed via
+    ``TableScorer`` so the search runs exactly as with a real detector.
+    """
+
+    def __init__(
+        self,
+        color_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
+        tolerance: float = 40.0,
+        gain: float = 30.0,
+        presence_threshold: float = 0.05,
+    ):
+        self.name = "color-probe"
+        self.color_map = dict(DEFAULT_COLOR_MAP if color_map is None else color_map)
+        self.tolerance = tolerance
+        self.gain = gain
+        self.presence_threshold = presence_threshold
+
+    def build_scorer(self, cache, target_objects, cue_objects, config):
+        names = list(target_objects) + list(cue_objects)
+        q = config.max_objects
+        colors = np.zeros((q, 3), np.float32)
+        active = np.zeros((q,), bool)
+        for i, n in enumerate(names):
+            if n in self.color_map:
+                colors[i] = self.color_map[n]
+                active[i] = True
+            else:
+                logger.warning("color-probe: no color registered for %r", n)
+        weights = np.full((q,), config.cue_weight, np.float32)
+        weights[: len(target_objects)] = config.target_weight
+
+        colors_j = jnp.asarray(colors)
+
+        def per_frame(frame):  # (h, w, 3) uint8 -> (Q,) coverage
+            d = jnp.linalg.norm(
+                frame.astype(jnp.float32)[:, :, None, :] - colors_j[None, None],
+                axis=-1,
+            )
+            return jnp.mean((d < self.tolerance).astype(jnp.float32), axis=(0, 1))
+
+        # Chunked map keeps peak memory at (chunk, h, w, Q) instead of
+        # materializing the full (N, h, w, Q) distance tensor.
+        coverage = jax.lax.map(per_frame, cache, batch_size=32)  # (N, Q)
+        raw_conf = jnp.clip(coverage * self.gain, 0.0, 1.0) * jnp.asarray(active)
+        presence = raw_conf > self.presence_threshold  # (N, Q)
+        weighted = raw_conf * jnp.asarray(weights)[None]
+        conf = jnp.max(
+            jnp.where(presence, weighted, 0.0), axis=-1
+        )  # cell-max of weighted confidences, like the splat
+        return TableScorer(
+            grid_conf=conf,
+            grid_presence=presence,
+            verify_conf=conf,
+            verify_presence=presence,
+        )
+
+
+def initialize_heuristic(
+    heuristic_type: str = "owl-vit", **kwargs
+) -> HeuristicBackend:
+    """String dispatch, extending TStarFramework.py:171-187."""
+    name = heuristic_type.lower()
+    if name == "owl-vit":
+        return OwlVitHeuristic(checkpoint_dir=kwargs.get("checkpoint_dir"))
+    if name == "owl-vit-random":
+        return OwlVitHeuristic(checkpoint_dir=None, seed=kwargs.get("seed", 0))
+    if name in ("color-probe", "fake"):
+        return ColorProbeHeuristic(color_map=kwargs.get("color_map"))
+    if name in ("yolo-world", "yolo-world-v2"):
+        from tstar_tpu.models.yoloworld import YoloWorldHeuristic
+
+        return YoloWorldHeuristic(**kwargs)
+    raise NotImplementedError(f"Heuristic type '{heuristic_type}' is not implemented.")

@@ -1,0 +1,100 @@
+"""Universal grounder facade: backend dispatch + the three inference APIs.
+
+Mirrors the reference ``TStarUniversalGrounder``
+(``TStar/interface_grounding.py:327-468``): substring dispatch on the model
+name ("gpt" / "qwen" / "llava" / here also "fake"), 8-frame uniform video
+sampling for grounding, strict 2-line grounding parse with object-name
+normalization, multiple-choice QA capped at 30 generated tokens, and
+open-ended QA.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import List, Optional, Tuple
+
+from tstar_tpu.grounding.fake import FakeVLM
+from tstar_tpu.grounding.prompts import (
+    build_grounding_prompt,
+    build_open_qa_prompt,
+    build_qa_prompt,
+    parse_grounding_response,
+)
+from tstar_tpu.utils.images import load_video_frames
+
+logger = logging.getLogger(__name__)
+
+
+class UniversalGrounder:
+    def __init__(
+        self,
+        model_name: str = "gpt-4o",
+        model_path: Optional[str] = None,
+        api_key: Optional[str] = None,
+        num_frames: int = 8,
+        backend=None,
+    ):
+        self.model_name = model_name
+        self.num_frames = num_frames
+        if backend is not None:
+            self.backend = backend
+        else:
+            name = model_name.lower()
+            if "fake" in name:
+                self.backend = FakeVLM()
+            elif "gpt" in name:
+                from tstar_tpu.grounding.openai_backend import OpenAIBackend
+
+                self.backend = OpenAIBackend(model=model_name, api_key=api_key)
+            elif "qwen" in name or "llava" in name:
+                from tstar_tpu.grounding.vlm_backend import JaxVLMBackend
+
+                self.backend = JaxVLMBackend(model_path or model_name)
+            else:
+                raise ValueError(
+                    "model_name must contain one of: 'gpt', 'qwen', 'llava', 'fake'"
+                )
+
+    def inference_query_grounding(
+        self,
+        video_path: str,
+        question: str,
+        options: Optional[str] = None,
+        temperature: float = 0.0,
+        max_tokens: int = 512,
+    ) -> Tuple[List[str], List[str]]:
+        frames = load_video_frames(video_path, num_frames=self.num_frames)
+        prompt = build_grounding_prompt(question, options, len(frames))
+        response = self.backend.inference_with_frames(
+            query=prompt, frames=frames, temperature=temperature, max_tokens=max_tokens
+        )
+        return parse_grounding_response(response)
+
+    def inference_qa(
+        self,
+        frames,
+        question: str,
+        options: str,
+        temperature: float = 0.2,
+        max_tokens: int = 128,
+    ) -> str:
+        prompt = build_qa_prompt(question, options, len(frames))
+        # The reference caps QA generation at 30 tokens regardless of the
+        # caller's max_tokens (interface_grounding.py:443).
+        response = self.backend.inference_with_frames(
+            query=prompt, frames=frames, temperature=temperature, max_tokens=30
+        )
+        return response.strip()
+
+    def inference_openend_qa(
+        self, frames, question: str, temperature: float = 0.2, max_tokens: int = 2048
+    ) -> str:
+        prompt = build_open_qa_prompt(question, len(frames))
+        response = self.backend.inference_with_frames(
+            query=prompt, frames=frames, temperature=temperature, max_tokens=max_tokens
+        )
+        return response.strip()
+
+
+# Reference-compatible alias (TStar/interface_grounding.py:327).
+TStarUniversalGrounder = UniversalGrounder
