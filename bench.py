@@ -1,0 +1,113 @@
+"""Benchmark: T* search throughput on the attached chip.
+
+Prints ONE JSON line:
+    {"metric": "tstar_search_frames_scored_per_sec_per_chip",
+     "value": <ours>, "unit": "frames/sec", "vs_baseline": <ours / reference-style>}
+
+Metric: detector-scored frames per second during a budget-exhausting T*
+search (the BASELINE.json north-star rate), full-size OWL-ViT base-patch32
+(bf16, random weights — weight values don't affect throughput) over a
+1024-second video's frame cache.
+
+Baseline: the SAME weights on the SAME chip driven by the reference's
+runtime architecture (per-iteration host round-trips + host cv2/scipy state
+updates; see tstar_tpu/bench/reference_style.py).  Decode is excluded from
+BOTH sides; the reference additionally re-decodes every iteration, so the
+end-to-end gap on real videos is strictly larger than reported here.
+"""
+
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from tstar_tpu.models.clip_tokenizer import HashTokenizer
+    from tstar_tpu.models.owlvit import OwlViTDetector, owlvit_base_patch32
+    from tstar_tpu.search.detector_scorer import make_owlvit_scorer
+    from tstar_tpu.search.engine import run_search
+    from tstar_tpu.search.state import init_state
+    from tstar_tpu.utils.config import SearchConfig
+    from tstar_tpu.bench.reference_style import reference_style_search
+    from tstar_tpu.models.owlvit import OwlViTDetector as _D, postprocess_detections
+
+    n_valid = 1024
+    # confidence_threshold 2.0: verification can never remove a target, so
+    # both pipelines deterministically run the full budget (1000 frames ->
+    # 63 iterations of 16).
+    cfg = SearchConfig(search_budget=1.0, confidence_threshold=2.0)
+    n_pad = cfg.padded_frames(n_valid)
+
+    model_cfg = owlvit_base_patch32()
+    model = OwlViTDetector(model_cfg, dtype=jnp.bfloat16)
+    size = model_cfg.vision.image_size
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, size, size, 3), jnp.bfloat16),
+        jnp.zeros((2, model_cfg.text.max_length), jnp.int32),
+    )
+
+    rng = np.random.default_rng(0)
+    cache_np = rng.integers(0, 256, size=(n_pad, *cfg.cache_hw, 3), dtype=np.uint8)
+    cache_np[n_valid:] = 0
+    cache = jnp.asarray(cache_np)
+    tok = HashTokenizer(vocab_size=model_cfg.text.vocab_size,
+                        context=model_cfg.text.max_length)
+    scorer = make_owlvit_scorer(
+        model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg
+    )
+    state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
+
+    run = jax.jit(lambda s: run_search(s, scorer, cfg))
+    # warmup/compile
+    final, secs = run(state)
+    jax.block_until_ready((final.scores, secs))
+    iters = int(final.iteration)
+    frames_scored = iters * cfg.frames_per_iteration
+
+    t0 = time.perf_counter()
+    final, secs = run(state)
+    jax.block_until_ready((final.scores, secs))
+    ours_t = time.perf_counter() - t0
+    ours_fps = frames_scored / ours_t
+
+    # --- reference-style baseline: same weights, same chip, host loop ---
+    @jax.jit
+    def detector_forward(pixels):
+        feats = model.apply(variables, pixels.astype(jnp.bfloat16),
+                            method=_D.encode_image)
+        logits, boxes = model.apply(
+            variables, feats, scorer.query_embeds, scorer.query_mask,
+            method=_D.predict,
+        )
+        return postprocess_detections(logits, boxes, (size, size))
+
+    # warmup compile
+    jax.block_until_ready(
+        detector_forward(jnp.zeros((1, size, size, 3), jnp.bfloat16))
+    )
+    base_frames, base_t = reference_style_search(
+        detector_forward,
+        cache_np,
+        n_valid,
+        np.asarray(scorer.class_weights),
+        n_targets=1,
+        config=cfg,
+        detector_size=size,
+    )
+    base_fps = base_frames / base_t
+
+    print(json.dumps({
+        "metric": "tstar_search_frames_scored_per_sec_per_chip",
+        "value": round(ours_fps, 2),
+        "unit": "frames/sec",
+        "vs_baseline": round(ours_fps / base_fps, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -5,7 +5,9 @@ Must run before the first ``import jax`` anywhere in the test session.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Hard-set: the shell environment pins JAX_PLATFORMS to the TPU platform,
+# but the test suite must be hermetic on CPU with a virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -14,4 +16,8 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The machine's sitecustomize force-registers the TPU backend and overrides
+# jax_platforms to "axon,cpu" at import time; pin it back to CPU before any
+# backend initializes.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "float32")

@@ -1,0 +1,172 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Covers: batched multi-video search equivalence with single-video runs,
+masked early termination, mesh construction, and the sharded DP+TP execution
+path the driver dry-runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from tstar_tpu.models.clip_tokenizer import HashTokenizer
+from tstar_tpu.models.owlvit import OwlViTConfig, OwlViTDetector, TextConfig, VisionConfig
+from tstar_tpu.parallel.batched import run_search_batched
+from tstar_tpu.parallel.mesh import make_mesh
+from tstar_tpu.parallel.shardings import owlvit_param_shardings, shard_variables
+from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
+from tstar_tpu.search.engine import run_search
+from tstar_tpu.search.scorers import TableScorer
+from tstar_tpu.search.state import SearchState, init_state
+from tstar_tpu.utils.config import SearchConfig
+
+from tests.oracle import make_synthetic_tables
+
+CFG = SearchConfig(search_budget=0.5)
+
+
+def _stack_states(states):
+    return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+
+def _make_table_scorers(n_videos, n_valid, n_pad, seed0=100):
+    tables = [
+        make_synthetic_tables(n_pad, n_valid, CFG.max_objects, 1, seed0 + i)
+        for i in range(n_videos)
+    ]
+    return TableScorer(
+        grid_conf=jnp.stack([jnp.asarray(t.grid_conf) for t in tables]),
+        grid_presence=jnp.stack([jnp.asarray(t.grid_presence) for t in tables]),
+        verify_conf=jnp.stack([jnp.asarray(t.verify_conf) for t in tables]),
+        verify_presence=jnp.stack([jnp.asarray(t.verify_presence) for t in tables]),
+    ), tables
+
+
+class TestMesh:
+    def test_requires_8_devices(self):
+        assert jax.device_count() >= 8, "conftest must force 8 CPU devices"
+
+    def test_make_mesh_shapes(self):
+        m = make_mesh()
+        assert m.shape == {"data": 8, "model": 1}
+        m2 = make_mesh(model=2)
+        assert m2.shape == {"data": 4, "model": 2}
+        with pytest.raises(AssertionError):
+            make_mesh(data=3, model=2)
+
+
+class TestBatchedSearch:
+    def test_matches_single_video_runs(self):
+        n_videos, n_valid = 4, 200
+        n_pad = CFG.padded_frames(n_valid)
+        batched_scorer, tables = _make_table_scorers(n_videos, n_valid, n_pad)
+        states = [
+            init_state(n_valid, 1, CFG, jax.random.key(i), n_pad=n_pad)
+            for i in range(n_videos)
+        ]
+        finals, secs = jax.jit(
+            lambda ss: run_search_batched(ss, batched_scorer, CFG)
+        )(_stack_states(states))
+
+        for i in range(n_videos):
+            scorer_i = TableScorer(
+                grid_conf=batched_scorer.grid_conf[i],
+                grid_presence=batched_scorer.grid_presence[i],
+                verify_conf=batched_scorer.verify_conf[i],
+                verify_presence=batched_scorer.verify_presence[i],
+            )
+            f_i, s_i = jax.jit(lambda s, sc=scorer_i: run_search(s, sc, CFG))(states[i])
+            np.testing.assert_array_equal(np.asarray(secs)[i], np.asarray(s_i))
+            np.testing.assert_allclose(
+                np.asarray(finals.scores)[i], np.asarray(f_i.scores), rtol=1e-5
+            )
+            assert int(finals.iteration[i]) == int(f_i.iteration)
+
+    def test_early_finishers_frozen(self):
+        # Video 0 finds its target instantly; video 1 never does.  Video 0's
+        # state must freeze (masked no-op) while video 1 runs to budget.
+        n_valid = n_pad = 128
+        hot = np.full(n_pad, 0.9, np.float32)
+        pres = np.zeros((n_pad, CFG.max_objects), bool)
+        pres[:, 0] = True
+        cold = np.zeros(n_pad, np.float32)
+        nopres = np.zeros_like(pres)
+        scorer = TableScorer(
+            grid_conf=jnp.stack([jnp.asarray(hot), jnp.asarray(cold)]),
+            grid_presence=jnp.stack([jnp.asarray(pres), jnp.asarray(nopres)]),
+            verify_conf=jnp.stack([jnp.asarray(hot), jnp.asarray(cold)]),
+            verify_presence=jnp.stack([jnp.asarray(pres), jnp.asarray(nopres)]),
+        )
+        states = _stack_states([
+            init_state(n_valid, 1, CFG, jax.random.key(0), n_pad=n_pad),
+            init_state(n_valid, 1, CFG, jax.random.key(1), n_pad=n_pad),
+        ])
+        finals, _ = jax.jit(lambda ss: run_search_batched(ss, scorer, CFG))(states)
+        assert int(finals.iteration[0]) == 1          # froze after success
+        assert int(finals.iteration[1]) == 4          # 64-frame budget / 16
+        assert not bool(np.asarray(finals.remaining)[0].any())
+        assert bool(np.asarray(finals.remaining)[1].any())
+
+
+class TestShardedExecution:
+    def test_dp_tp_sharded_batched_search_step(self):
+        # The driver's dryrun path: DP over videos x TP over detector params
+        # on a 4x2 mesh, one full batched detector-backed step, executed.
+        mesh = make_mesh(data=4, model=2)
+        tiny = OwlViTConfig(
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                                intermediate_size=64, patch_size=16, image_size=64),
+            text=TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
+                            num_heads=4, intermediate_size=48, max_length=8),
+            projection_dim=24,
+        )
+        model = OwlViTDetector(tiny, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((2, 8), jnp.int32)
+        )
+        sharded_vars = shard_variables(mesh, variables)
+        # TP rule sanity: fc1 kernels shard their output dim.
+        fc1 = sharded_vars["params"]["vision"]["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"]
+        assert fc1.sharding.spec == P(None, "model")
+
+        n_videos, n_valid = 4, 64
+        n_pad = 128
+        cfg = SearchConfig(search_budget=0.5)
+        tok = HashTokenizer(vocab_size=100, context=8)
+        rng = np.random.default_rng(0)
+        caches, scorers, states = [], [], []
+        for i in range(n_videos):
+            cache = jnp.asarray(
+                rng.integers(0, 256, (n_pad, 20, 40, 3), dtype=np.uint8)
+            )
+            sc = make_owlvit_scorer(
+                model, sharded_vars, cache, ["couch"], ["tv"], tok, cfg
+            )
+            scorers.append(sc)
+            states.append(init_state(n_valid, 1, cfg, jax.random.key(i), n_pad=n_pad))
+
+        batched_scorer = OwlVitScorer(
+            cache=jnp.stack([s.cache for s in scorers]),
+            variables=sharded_vars,
+            query_embeds=jnp.stack([s.query_embeds for s in scorers]),
+            query_mask=jnp.stack([s.query_mask for s in scorers]),
+            class_weights=jnp.stack([s.class_weights for s in scorers]),
+            model=model,
+            config=cfg,
+        )
+        stacked = _stack_states(states)
+        dp = NamedSharding(mesh, P("data"))
+        stacked = jax.tree_util.tree_map(
+            lambda x: jax.device_put(x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))),
+            stacked,
+        )
+
+        from tstar_tpu.parallel.batched import batched_search_step
+
+        step = jax.jit(lambda ss: batched_search_step(ss, batched_scorer, cfg))
+        out = step(stacked)
+        assert out.scores.shape == (n_videos, n_pad)
+        assert bool(jnp.isfinite(out.P).all())
+        assert int(out.iteration.sum()) == n_videos  # every video advanced

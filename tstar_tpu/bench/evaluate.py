@@ -1,0 +1,211 @@
+"""Evaluation runners: keyframe-search metrics and QA accuracy.
+
+Counterparts of ``LVHaystackBench/val_tstar_results.py`` and
+``val_qa_results.py``, with the reference's failure-handling upgraded
+(SURVEY.md §5.2-5.4): frame extraction is keyed by item index (the reference
+appends in thread-completion order, which can misalign lists when early
+videos fail, val_tstar_results.py:309-348), and both evaluators support
+resume from per-item JSONL manifests.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from tstar_tpu.bench.metrics import annd, match_answer, ssim_prf, temporal_prf
+
+logger = logging.getLogger(__name__)
+
+
+# ---------------------------------------------------------------------------
+# Keyframe-search metric evaluation (val_tstar_results.py:296-380)
+# ---------------------------------------------------------------------------
+
+def _extract_frames(video_path: str, frame_indices: List[int]) -> List[np.ndarray]:
+    from tstar_tpu.video.decoder import open_video
+
+    dec = open_video(video_path)
+    try:
+        total = max(1, dec.meta.total_frames)
+        clipped = [min(max(0, int(i)), total - 1) for i in frame_indices]
+        return list(dec.decode_batch(clipped))
+    finally:
+        dec.close()
+
+
+def evaluate_search_results(
+    result_data: List[Dict[str, Any]],
+    frame_index_key: str = "keyframe_timestamps",
+    fps: float = 1.0,
+    threshold: float = 5.0,
+    compute_ssim: bool = True,
+    ssim_axis_convention: str = "reference",
+) -> Dict[str, float]:
+    """Temporal PRF + SSIM PRF + ANND over search-result items.
+
+    Items need {video_path, <frame_index_key> (pred timestamps in seconds),
+    gt_frame_index (raw frame indices)}.
+    """
+    gt_secs, pred_secs = [], []
+    gt_images, pred_images = [], []
+
+    for idx, item in enumerate(result_data):
+        try:
+            video_path = item["video_path"]
+            pred_ts = list(item[frame_index_key])
+            gt_idx = list(item["gt_frame_index"])
+        except KeyError as e:
+            logger.error("entry %d missing field %s", idx, e)
+            continue
+        try:
+            from tstar_tpu.video.decoder import open_video
+
+            dec = open_video(video_path)
+            video_fps = dec.meta.fps
+            dec.close()
+            gt_sec = [i / video_fps for i in gt_idx]
+            gt_secs.append(np.asarray(gt_sec))
+            pred_secs.append(np.asarray(pred_ts))
+            if compute_ssim:
+                pred_frame_idx = [int(ts * video_fps) for ts in pred_ts]
+                frames = _extract_frames(video_path, gt_idx + pred_frame_idx)
+                gt_images.append(frames[: len(gt_idx)])
+                pred_images.append(frames[len(gt_idx):])
+        except Exception as e:  # noqa: BLE001 — per-item continue
+            logger.error("entry %d (%s) failed: %s", idx, video_path, e)
+            continue
+
+    p, r, f1 = temporal_prf(gt_secs, pred_secs, threshold=threshold)
+    metrics = {
+        "Average Temporal Precision": p,
+        "Average Temporal Recall": r,
+        "Average Temporal F1 Score": f1,
+    }
+    annd_p, annd_r = annd(gt_secs, pred_secs)
+    metrics["Average ANND Precision (s)"] = annd_p
+    metrics["Average ANND Recall (s)"] = annd_r
+    if compute_ssim and gt_images:
+        sp, sr, sf = ssim_prf(gt_images, pred_images, ssim_axis_convention)
+        metrics["Average SSIM Precision"] = sp
+        metrics["Average SSIM Recall"] = sr
+        metrics["Average SSIM F1 Score"] = sf
+    return metrics
+
+
+# ---------------------------------------------------------------------------
+# QA accuracy evaluation (val_qa_results.py:48-299)
+# ---------------------------------------------------------------------------
+
+def extract_qa_frames(
+    video_path: str,
+    item: Dict[str, Any],
+    frame_distribution: Optional[List[float]] = None,
+    num_frames: int = 8,
+    duration_type: str = "video",
+) -> List[np.ndarray]:
+    """Frame selection for QA: 'uniform' (linspace) or distribution top-k
+    within the clip slice (val_qa_results.py:89-117)."""
+    from tstar_tpu.video.decoder import open_video
+
+    dec = open_video(video_path)
+    try:
+        total = dec.meta.total_frames
+        fps = dec.meta.fps
+        duration = total / fps
+        if duration_type == "clip":
+            start, end = item.get("vclip_interval_in_video") or [0, duration]
+        else:
+            start, end = 0, duration
+        start, end = max(0, start), min(duration, end)
+
+        if frame_distribution is not None:
+            dist = np.nan_to_num(np.asarray(frame_distribution, np.float32))
+            if dist.sum() == 0:
+                dist = np.ones_like(dist)
+            lo, hi = int(start), int(end)
+            clip = dist[lo:hi]
+            if clip.size == 0 or clip.sum() == 0:
+                clip = np.ones(max(1, hi - lo), np.float32)
+            topk = np.argsort(-clip)[:num_frames]
+            secs = np.sort(topk) + lo
+        else:
+            secs = np.linspace(start, end, num_frames).astype(int)
+
+        idx = [min(max(0, int(s * fps)), total - 1) for s in secs]
+        return list(dec.decode_batch(idx))
+    finally:
+        dec.close()
+
+
+def compute_qa_accuracy(
+    result_data: List[Dict[str, Any]],
+    vlm_model,
+    nframe: int = 8,
+    sampling_type: str = "uniform",
+    duration_type: str = "video",
+    output_file: str = "./qa_results.jsonl",
+) -> tuple:
+    """Sequential QA eval with JSONL resume (val_qa_results.py:182-299)."""
+    existing: Dict[str, Dict] = {}
+    if os.path.exists(output_file):
+        logger.info("resuming from %s", output_file)
+        with open(output_file, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    it = json.loads(line)
+                    existing[it["video_path"]] = it
+
+    results = []
+    correct = total = 0
+    with open(output_file, "a", encoding="utf-8") as sink:
+        for idx, item in enumerate(result_data):
+            vp = item.get("video_path")
+            if vp in existing:
+                done = existing[vp]
+                results.append(done)
+                correct += bool(done.get("correct"))
+                total += 1
+                continue
+
+            if sampling_type == "uniform":
+                dist = None
+            elif sampling_type == "TStar":
+                dist = item.get("keyframe_distribution")
+            else:
+                raise NotImplementedError(
+                    f"sampling_type '{sampling_type}' not in [uniform, TStar]"
+                )
+
+            try:
+                frames = extract_qa_frames(
+                    vp, item, dist, nframe, duration_type=duration_type
+                )
+                pred = vlm_model.inference_qa(
+                    frames=frames,
+                    question=item["question"],
+                    options=item["options"],
+                    temperature=0.2,
+                    max_tokens=1024,
+                ).strip()
+                is_correct = match_answer(pred, item["gt_answer"].strip())
+                item[f"{sampling_type}_pred_answer"] = pred
+                item["correct"] = is_correct
+                correct += is_correct
+                total += 1
+            except Exception as e:  # noqa: BLE001 — per-item continue
+                logger.error("item %d failed: %s", idx, e)
+                item[f"{sampling_type}_pred_answer"] = f"failed: {e}"
+                item["correct"] = False
+            results.append(item)
+            json.dump(item, sink, ensure_ascii=False)
+            sink.write("\n")
+            sink.flush()
+
+    accuracy = correct / total if total else 0.0
+    logger.info("QA Accuracy: %.2f%% (%d/%d)", accuracy * 100, correct, total)
+    return accuracy, results

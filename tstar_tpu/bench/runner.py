@@ -1,0 +1,115 @@
+"""Batch search runner over a dataset (reference run_TStar_onDataset.py).
+
+Per-item schema and defaults mirror the reference
+(``run_TStar_onDataset.py:89-211``: per-item TStarFramework invocation,
+sorted timestamps, result keys ``grounding_objects`` / ``keyframe_timestamps``
+/ ``keyframe_distribution`` = final P, per-item try/except-continue, output
+``{heuristic}_{output_json_name}``).  Upgrades (SURVEY.md §5.3-5.4): per-item
+JSONL manifest with resume (the reference only writes one JSON at the end and
+restarts from scratch on failure), and typed per-item error records.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Any, Dict, List, Optional
+
+logger = logging.getLogger(__name__)
+
+
+def search_one_item(
+    item: Dict[str, Any],
+    grounder,
+    heuristic,
+    search_nframes: int = 8,
+    grid_rows: int = 4,
+    grid_cols: int = 4,
+    confidence_threshold: float = 0.7,
+    search_budget: float = 1.0,
+    output_dir: str = "./results/frame_search",
+    seed: int = 0,
+    save_artifacts: bool = False,
+) -> Dict[str, Any]:
+    """Run grounding + search for one dataset item; returns the result row."""
+    from tstar_tpu.framework.framework import TStarFramework
+
+    fw = TStarFramework(
+        video_path=item["video_path"],
+        question=item["question"],
+        options=item.get("options", ""),
+        grounder=grounder,
+        heuristic=heuristic,
+        search_nframes=search_nframes,
+        grid_rows=grid_rows,
+        grid_cols=grid_cols,
+        output_dir=output_dir,
+        confidence_threshold=confidence_threshold,
+        search_budget=search_budget,
+        seed=seed,
+        save_artifacts=save_artifacts,
+    )
+    targets, cues = fw.get_grounded_objects()
+    searcher = fw.initialize_videoSearcher(targets, cues)
+    _, timestamps = fw.perform_search(searcher, visualization=save_artifacts)
+    timestamps = sorted(timestamps)
+    searcher._record_final_history()
+    return {
+        "video_path": item["video_path"],
+        "grounding_objects": {"target_objects": targets, "cue_objects": cues},
+        "keyframe_timestamps": timestamps,
+        "keyframe_distribution": searcher.P_history[-1],
+    }
+
+
+def run_dataset(
+    dataset: List[Dict[str, Any]],
+    grounder,
+    heuristic,
+    output_json: str,
+    resume: bool = True,
+    **search_kwargs,
+) -> List[Dict[str, Any]]:
+    """Serial per-item runner with JSONL manifest + final JSON dump."""
+    manifest = output_json + ".manifest.jsonl"
+    done: Dict[str, Dict] = {}
+    if resume and os.path.exists(manifest):
+        with open(manifest, encoding="utf-8") as f:
+            for line in f:
+                if line.strip():
+                    row = json.loads(line)
+                    done[row.get("video_path", "") + "||" + row.get("question", "")] = row
+        logger.info("resuming: %d items already done", len(done))
+
+    results: List[Dict] = []
+    os.makedirs(os.path.dirname(output_json) or ".", exist_ok=True)
+    with open(manifest, "a", encoding="utf-8") as sink:
+        for idx, item in enumerate(dataset):
+            key = item["video_path"] + "||" + item.get("question", "")
+            logger.info(
+                "Processing %d/%d: %s", idx + 1, len(dataset), item.get("video_id")
+            )
+            if key in done:
+                results.append(done[key])
+                continue
+            row = dict(item)
+            try:
+                row.update(search_one_item(item, grounder, heuristic, **search_kwargs))
+                row["error"] = None
+            except Exception as e:  # noqa: BLE001 — per-item continue (:197-202)
+                logger.error("error processing %s: %s", item.get("video_id"), e)
+                row["error"] = f"{type(e).__name__}: {e}"
+                json.dump(row, sink, ensure_ascii=False)
+                sink.write("\n")
+                sink.flush()
+                continue
+            results.append(row)
+            json.dump(row, sink, ensure_ascii=False)
+            sink.write("\n")
+            sink.flush()
+
+    with open(output_json, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=4, ensure_ascii=False)
+    logger.info("batch processing completed; results saved to %s", output_json)
+    return results

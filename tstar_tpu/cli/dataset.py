@@ -1,0 +1,76 @@
+"""Batch dataset runner CLI (reference run_TStar_onDataset.py:149-213).
+
+Defaults mirror the reference (grounder gpt-4o, heuristic owl-vit, conf 0.7,
+budget 1.0, grid 4x4, split test_tiny); adds --local_json for offline dataset
+dumps and resume-by-default.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="T* (TPU): batch video search over a dataset")
+    p.add_argument("--dataset_meta", type=str, default="LVHaystack/LongVideoHaystack")
+    p.add_argument("--split", type=str, default="test_tiny")
+    p.add_argument("--video_root", type=str,
+                   default="./Datasets/ego4d_data/ego4d_data/v1/256p")
+    p.add_argument("--local_json", type=str, default=None,
+                   help="offline dataset dump instead of the HF hub")
+    p.add_argument("--output_json_name", type=str,
+                   default="TStar_LongVideoHaystack_tiny.json")
+    p.add_argument("--grounder", type=str, default="gpt-4o")
+    p.add_argument("--heuristic", type=str, default="owl-vit")
+    p.add_argument("--checkpoint_dir", type=str, default=None)
+    p.add_argument("--search_nframes", type=int, default=8)
+    p.add_argument("--grid_rows", type=int, default=4)
+    p.add_argument("--grid_cols", type=int, default=4)
+    p.add_argument("--confidence_threshold", type=float, default=0.7)
+    p.add_argument("--search_budget", type=float, default=1.0)
+    p.add_argument("--output_dir", type=str, default="./results/frame_search")
+    p.add_argument("--no_resume", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+
+    from tstar_tpu.bench.datasets import lvhaystack_to_tstar
+    from tstar_tpu.bench.runner import run_dataset
+    from tstar_tpu.framework.heuristics import initialize_heuristic
+    from tstar_tpu.grounding.universal import UniversalGrounder
+
+    dataset = lvhaystack_to_tstar(
+        dataset_meta=args.dataset_meta,
+        split=args.split,
+        video_root=args.video_root,
+        local_json=args.local_json,
+    )
+    grounder = UniversalGrounder(model_name=args.grounder)
+    hk = {}
+    if args.checkpoint_dir:
+        hk["checkpoint_dir"] = args.checkpoint_dir
+    heuristic = initialize_heuristic(args.heuristic, **hk)
+
+    os.makedirs(args.output_dir, exist_ok=True)
+    output_json = os.path.join(
+        args.output_dir, f"{args.heuristic}_{args.output_json_name}"
+    )
+    results = run_dataset(
+        dataset, grounder, heuristic, output_json,
+        resume=not args.no_resume,
+        search_nframes=args.search_nframes,
+        grid_rows=args.grid_rows,
+        grid_cols=args.grid_cols,
+        confidence_threshold=args.confidence_threshold,
+        search_budget=args.search_budget,
+        output_dir=args.output_dir,
+    )
+    print(f"Batch processing completed. {len(results)} results -> {output_json}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,85 @@
+"""Batched multi-video search: data parallelism over videos.
+
+The reference processes dataset items in a serial Python loop
+(``LVHaystackBench/run_TStar_onDataset.py:195-205``).  Here B videos search
+simultaneously: states and frame caches stack on a leading video axis that
+shards over the mesh's ``data`` axis, the detector batch becomes B grids per
+step (better MXU utilization than one), and videos that finish early become
+masked no-ops until every video's loop exits — one ``lax.while_loop`` total.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from tstar_tpu.search.detector_scorer import OwlVitScorer
+from tstar_tpu.search.engine import pop_frame_secs, search_step
+from tstar_tpu.search.state import SearchState
+from tstar_tpu.utils.config import SearchConfig
+
+
+def scorer_batch_axes(scorer):
+    """vmap in_axes spec: per-video leaves batch on axis 0; model weights are
+    shared (axis None) for detector scorers; table scorers batch everywhere."""
+    if isinstance(scorer, OwlVitScorer):
+        return OwlVitScorer(
+            cache=0,
+            variables=None,
+            query_embeds=0,
+            query_mask=0,
+            class_weights=0,
+            model=scorer.model,
+            config=scorer.config,
+        )
+    return 0
+
+
+def _active(states: SearchState) -> jax.Array:
+    return jnp.any(states.remaining, axis=-1) & (states.budget > 0)
+
+
+def batched_search_step(
+    states: SearchState, scorer, config: SearchConfig, in_axes=None
+) -> SearchState:
+    """One masked, vmapped step across the video batch."""
+    axes = in_axes if in_axes is not None else scorer_batch_axes(scorer)
+    active = _active(states)
+
+    def one(state, sc):
+        return search_step(state, sc, config)[0]
+
+    stepped = jax.vmap(one, in_axes=(0, axes))(states, scorer)
+
+    def select(new, old):
+        mask = active.reshape(active.shape + (1,) * (new.ndim - 1))
+        return jnp.where(mask, new, old)
+
+    return jax.tree_util.tree_map(select, stepped, states)
+
+
+def run_search_batched(
+    states: SearchState,          # leading axis B on every leaf
+    scorer,                       # per-video leaves batched on axis 0
+    config: SearchConfig,
+) -> Tuple[SearchState, jax.Array]:
+    """Search all videos to completion; returns (final states, secs (B, K))."""
+    axes = scorer_batch_axes(scorer)
+
+    def cond(ss):
+        return jnp.any(_active(ss))
+
+    def body(ss):
+        return batched_search_step(ss, scorer, config, in_axes=axes)
+
+    final = jax.lax.while_loop(cond, body, states)
+
+    def pop_one(state):
+        rng, key = jax.random.split(state.rng)
+        state = state.replace(rng=rng)
+        return state, pop_frame_secs(state, key, config)
+
+    final, secs = jax.vmap(pop_one)(final)
+    return final, secs
