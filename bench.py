@@ -62,29 +62,32 @@ def main():
     )
     state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
 
-    run = jax.jit(lambda s: run_search(s, scorer, cfg))
+    # scorer passed as an argument: closed-over caches/weights would be
+    # inlined into the HLO as constants (hundreds of MB).
+    run = jax.jit(run_search, static_argnums=2)
     # warmup/compile
-    final, secs = run(state)
+    final, secs = run(state, scorer, cfg)
     jax.block_until_ready((final.scores, secs))
     iters = int(final.iteration)
     frames_scored = iters * cfg.frames_per_iteration
 
     t0 = time.perf_counter()
-    final, secs = run(state)
+    final, secs = run(state, scorer, cfg)
     jax.block_until_ready((final.scores, secs))
     ours_t = time.perf_counter() - t0
     ours_fps = frames_scored / ours_t
 
     # --- reference-style baseline: same weights, same chip, host loop ---
     @jax.jit
-    def detector_forward(pixels):
-        feats = model.apply(variables, pixels.astype(jnp.bfloat16),
-                            method=_D.encode_image)
-        logits, boxes = model.apply(
-            variables, feats, scorer.query_embeds, scorer.query_mask,
-            method=_D.predict,
-        )
+    def _detector_forward(vars_, pixels, q_embeds, q_mask):
+        feats = model.apply(vars_, pixels.astype(jnp.bfloat16), method=_D.encode_image)
+        logits, boxes = model.apply(vars_, feats, q_embeds, q_mask, method=_D.predict)
         return postprocess_detections(logits, boxes, (size, size))
+
+    def detector_forward(pixels):
+        return _detector_forward(
+            variables, pixels, scorer.query_embeds, scorer.query_mask
+        )
 
     # warmup compile
     jax.block_until_ready(

@@ -222,10 +222,13 @@ def run_search_with_history(
     ``P_history`` / ``Score_history`` / grid-iteration artifacts
     (interface_searcher.py:207-213,469-474).
     """
-    step = jax.jit(lambda s: search_step(s, scorer, config))
+    # NOTE: the scorer is a jit ARGUMENT, not a closure — closed-over arrays
+    # (frame caches, detector weights) would be inlined into the HLO as
+    # constants, bloating the serialized module by hundreds of MB.
+    step = jax.jit(search_step, static_argnums=2)
     history: List[Dict[str, Any]] = []
     while bool(_continue(state)):
-        state, aux = step(state)
+        state, aux = step(state, scorer, config)
         history.append(
             {
                 "P": jax.device_get(state.P),
@@ -237,5 +240,5 @@ def run_search_with_history(
         )
     rng, pop_key = jax.random.split(state.rng)
     state = state.replace(rng=rng)
-    secs = jax.jit(lambda s, k: pop_frame_secs(s, k, config))(state, pop_key)
+    secs = jax.jit(pop_frame_secs, static_argnums=2)(state, pop_key, config)
     return state, secs, history

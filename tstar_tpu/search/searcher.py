@@ -118,9 +118,9 @@ class KeyframeSearcher:
     # -- search entry points ----------------------------------------------
     def search(self) -> Tuple[List[np.ndarray], List[float]]:
         """Fully on-device search (lax.while_loop, no host round-trips)."""
-        final, secs = jax.jit(
-            lambda s: run_search(s, self.scorer, self.config)
-        )(self._state0)
+        final, secs = jax.jit(run_search, static_argnums=2)(
+            self._state0, self.scorer, self.config
+        )
         self._final_state = jax.device_get(final)
         self._record_final_history()
         return self._materialize(np.asarray(secs))
