@@ -83,6 +83,80 @@ def config_from_hf_json(cfg: Dict[str, Any]) -> OwlViTConfig:
     )
 
 
+def _read_sharded_state_dict(path: str) -> Dict[str, Any]:
+    """Handles single-file and sharded (index.json) checkpoints."""
+    index = os.path.join(path, "model.safetensors.index.json")
+    if os.path.exists(index):
+        with open(index) as f:
+            weight_map = json.load(f)["weight_map"]
+        shards = sorted(set(weight_map.values()))
+        out: Dict[str, Any] = {}
+        from safetensors import safe_open
+
+        for shard in shards:
+            with safe_open(os.path.join(path, shard), framework="numpy") as f:
+                for k in f.keys():
+                    out[k] = f.get_tensor(k)
+        return out
+    return _read_state_dict(path)
+
+
+def qwen2vl_config_from_hf_json(cfg: Dict[str, Any]):
+    from tstar_tpu.models.qwen2vl import (
+        Qwen2VLConfig,
+        Qwen2VLTextConfig,
+        Qwen2VLVisionConfig,
+    )
+
+    t = cfg.get("text_config", cfg)
+    v = cfg["vision_config"]
+    rope_scaling = t.get("rope_scaling") or cfg.get("rope_scaling") or {}
+    return Qwen2VLConfig(
+        vision=Qwen2VLVisionConfig(
+            depth=v.get("depth", 32),
+            embed_dim=v.get("embed_dim", 1280),
+            num_heads=v.get("num_heads", 16),
+            mlp_ratio=v.get("mlp_ratio", 4.0),
+            patch_size=v.get("patch_size", 14),
+            temporal_patch_size=v.get("temporal_patch_size", 2),
+            spatial_merge_size=v.get("spatial_merge_size", 2),
+            hidden_size=v.get("hidden_size", t.get("hidden_size", 3584)),
+        ),
+        text=Qwen2VLTextConfig(
+            vocab_size=t.get("vocab_size", 152064),
+            hidden_size=t.get("hidden_size", 3584),
+            num_layers=t.get("num_hidden_layers", 28),
+            num_heads=t.get("num_attention_heads", 28),
+            num_kv_heads=t.get("num_key_value_heads", 4),
+            intermediate_size=t.get("intermediate_size", 18944),
+            rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+            rope_theta=t.get("rope_theta", 1e6),
+            mrope_section=tuple(rope_scaling.get("mrope_section", (16, 24, 24))),
+            tie_word_embeddings=t.get(
+                "tie_word_embeddings", cfg.get("tie_word_embeddings", False)
+            ),
+        ),
+        image_token_id=cfg.get("image_token_id", 151655),
+        video_token_id=cfg.get("video_token_id", 151656),
+        vision_start_token_id=cfg.get("vision_start_token_id", 151652),
+    )
+
+
+def load_qwen2vl_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
+    """-> (Qwen2VLModel, variables, QwenTokenizer) from a local HF dir."""
+    from tstar_tpu.models.qwen2vl import Qwen2VLModel, convert_hf_qwen2vl_state_dict
+    from tstar_tpu.models.qwen_tokenizer import QwenTokenizer
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = qwen2vl_config_from_hf_json(hf_cfg)
+    sd = _read_sharded_state_dict(checkpoint_dir)
+    variables = convert_hf_qwen2vl_state_dict(sd, cfg)
+    model = Qwen2VLModel(cfg, dtype=dtype)
+    tokenizer = QwenTokenizer.from_dir(checkpoint_dir)
+    return model, variables, tokenizer
+
+
 def load_owlvit_checkpoint(
     checkpoint_dir: str, dtype=jnp.bfloat16
 ) -> Tuple[OwlViTDetector, Dict, ClipTokenizer]:

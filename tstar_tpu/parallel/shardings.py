@@ -19,12 +19,18 @@ from tstar_tpu.parallel.mesh import MODEL_AXIS
 def _rule_for(path: str, ndim: int) -> P:
     if ndim < 2:
         return P()  # biases, norms, 1-d embeddings
-    if any(k in path for k in ("q_proj", "k_proj", "v_proj", "fc1")):
+    if any(k in path for k in ("q_proj", "k_proj", "v_proj", "fc1", "gate_proj",
+                               "up_proj", "qkv")):
         return P(None, MODEL_AXIS)            # (in, out) -> shard out
-    if any(k in path for k in ("out_proj", "fc2")):
+    if any(k in path for k in ("out_proj", "fc2", "o_proj", "down_proj",
+                               "/proj/")):
         return P(MODEL_AXIS, None)            # (in, out) -> shard in
-    return P()  # embeddings/patch conv replicate: hidden dim stays unsharded
-                # between blocks (Megatron-style TP)
+    if "lm_head" in path:
+        return P(None, MODEL_AXIS)            # shard vocab
+    if "embed_tokens" in path:
+        return P(MODEL_AXIS, None)            # shard vocab rows
+    return P()  # norms/embeddings/patch conv replicate: hidden dim stays
+                # unsharded between blocks (Megatron-style TP)
 
 
 def owlvit_param_shardings(mesh: Mesh, variables: Any) -> Any:
