@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="detector: owl-vit | owl-vit-random | color-probe | yolo-world")
     p.add_argument("--checkpoint_dir", type=str, default=None,
                    help="local HF checkpoint dir for the detector")
+    p.add_argument("--heuristic_size", type=str, default=None,
+                   help="detector size variant (e.g. yolo-world: xl | small)")
     p.add_argument("--search_nframes", type=int, default=8)
     p.add_argument("--grid_rows", type=int, default=4)
     p.add_argument("--grid_cols", type=int, default=4)
@@ -56,6 +58,8 @@ def main(argv=None):
     kwargs = {}
     if args.checkpoint_dir:
         kwargs["checkpoint_dir"] = args.checkpoint_dir
+    if args.heuristic_size:
+        kwargs["size"] = args.heuristic_size
     results = run_tstar(
         video_path=args.video_path,
         question=args.question,

@@ -171,8 +171,99 @@ def initialize_heuristic(
         return OwlVitHeuristic(checkpoint_dir=None, seed=kwargs.get("seed", 0))
     if name in ("color-probe", "fake"):
         return ColorProbeHeuristic(color_map=kwargs.get("color_map"))
-    if name in ("yolo-world", "yolo-world-v2"):
-        from tstar_tpu.models.yoloworld import YoloWorldHeuristic
-
-        return YoloWorldHeuristic(**kwargs)
+    if name in ("yolo-world", "yolo-world-v2", "yolo-world-random"):
+        return YoloWorldHeuristic(
+            checkpoint_dir=kwargs.get("checkpoint_dir"),
+            size=kwargs.get("size", "xl"),
+            seed=kwargs.get("seed", 0),
+        )
     raise NotImplementedError(f"Heuristic type '{heuristic_type}' is not implemented.")
+
+
+class YoloWorldHeuristic:
+    """YOLO-World-class backend (reference TStarFramework.py:180-185).
+
+    Loads native Flax checkpoints (models/loader.save_flax_params format);
+    mmdet->Flax weight conversion is future work (the mmdet graph cannot be
+    built in this environment to validate a converter).  Random init serves
+    benchmarks and interface tests.
+    """
+
+    def __init__(self, checkpoint_dir: Optional[str] = None, size: str = "xl", seed: int = 0):
+        import jax as _jax
+        import jax.numpy as jnp
+
+        from tstar_tpu.models.clip_tokenizer import HashTokenizer
+        from tstar_tpu.models.owlvit import TextConfig, TextTower
+        from tstar_tpu.models.yoloworld import (
+            YoloWorldConfig,
+            YoloWorldDetector,
+            yoloworld_small,
+        )
+
+        self.name = "yolo-world"
+        if size not in ("xl", "small"):
+            raise ValueError(f"unknown yolo-world size {size!r}; choose xl | small")
+        cfg = yoloworld_small() if size == "small" else YoloWorldConfig()
+        self.model = YoloWorldDetector(cfg, dtype=jnp.bfloat16)
+        text_cfg = TextConfig(hidden_size=cfg.text_dim)
+        self.text_model = TextTower(text_cfg, dtype=jnp.bfloat16)
+        if checkpoint_dir:
+            from tstar_tpu.models.loader import load_flax_params
+
+            self.variables = load_flax_params(checkpoint_dir, "yolo_world.npz")
+            self.text_variables = load_flax_params(checkpoint_dir, "text_tower.npz")
+            from tstar_tpu.models.clip_tokenizer import ClipTokenizer
+
+            self.tokenizer = ClipTokenizer.from_dir(
+                checkpoint_dir, context=text_cfg.max_length
+            )
+        else:
+            size_px = cfg.image_size
+            self.variables = self.model.init(
+                _jax.random.key(seed),
+                jnp.zeros((1, size_px, size_px, 3), jnp.bfloat16),
+                jnp.zeros((2, cfg.text_dim), jnp.bfloat16),
+            )
+            self.text_variables = self.text_model.init(
+                _jax.random.key(seed + 1),
+                jnp.zeros((2, text_cfg.max_length), jnp.int32),
+                jnp.ones((2, text_cfg.max_length), jnp.int32),
+            )
+            self.tokenizer = HashTokenizer(
+                vocab_size=text_cfg.vocab_size, context=text_cfg.max_length
+            )
+
+    def build_scorer(self, cache, target_objects, cue_objects, config):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tstar_tpu.search.yolo_scorer import YoloWorldScorer
+
+        texts = [t.strip() for t in target_objects] + [
+            c.strip() for c in cue_objects
+        ] + [" "]
+        q = config.max_objects
+        if len(texts) > q:
+            raise ValueError(f"{len(texts)} prompts > max_objects={q}")
+        ids, mask = self.tokenizer.encode_batch(texts)
+        ids_pad = np.zeros((q, ids.shape[1]), np.int32)
+        mask_pad = np.zeros((q, ids.shape[1]), np.int32)
+        ids_pad[: len(texts)] = ids
+        mask_pad[: len(texts)] = mask
+        mask_pad[len(texts):, 0] = 1
+        pooled = self.text_model.apply(
+            self.text_variables, jnp.asarray(ids_pad), jnp.asarray(mask_pad)
+        )
+        text_embeds = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-6)
+        weights = np.full((q,), config.cue_weight, np.float32)
+        weights[: len(target_objects)] = config.target_weight
+        return YoloWorldScorer(
+            cache=cache,
+            variables=self.variables,
+            text_embeds=text_embeds.astype(jnp.float32),
+            query_mask=jnp.asarray(ids_pad[:, 0] > 0),
+            class_weights=jnp.asarray(weights),
+            model=self.model,
+            config=config,
+        )

@@ -157,6 +157,27 @@ def load_qwen2vl_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
     return model, variables, tokenizer
 
 
+def save_flax_params(variables: Dict, checkpoint_dir: str, filename: str) -> str:
+    """Save a Flax params pytree as a flat .npz (native checkpoint format)."""
+    import numpy as np
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(variables, sep="|")
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, filename)
+    np.savez(path, **{k: np.asarray(v) for k, v in flat.items()})
+    return path
+
+
+def load_flax_params(checkpoint_dir: str, filename: str) -> Dict:
+    import numpy as np
+    from flax import traverse_util
+
+    with np.load(os.path.join(checkpoint_dir, filename)) as data:
+        flat = {k: data[k] for k in data.files}
+    return traverse_util.unflatten_dict(flat, sep="|")
+
+
 def load_owlvit_checkpoint(
     checkpoint_dir: str, dtype=jnp.bfloat16
 ) -> Tuple[OwlViTDetector, Dict, ClipTokenizer]:

@@ -1,0 +1,283 @@
+"""YOLO-World-class open-vocabulary detector in Flax.
+
+TPU-native counterpart of the reference's higher-accuracy heuristic backend
+(``TStar/interface_heuristic.py:39-190``: mmdet/mmyolo YOLO-World v2-XL with
+``reparameterize(texts)`` text conditioning, score threshold 0.12 and
+max_dets 50 in the search path ``:136-168``).
+
+Architecture (YOLOv8-style single-stage detector with text conditioning):
+  * CSP backbone — ConvBN(SiLU) stem, C2f cross-stage blocks, SPPF;
+  * text-guided PAN neck — C2f fusion blocks whose outputs are modulated by
+    max-sigmoid attention against the text embeddings (the YOLO-World
+    T-CSPLayer mechanism);
+  * decoupled head per pyramid level — a DFL box branch (distribution over
+    ``reg_max`` bins -> expected l/t/r/b distances at each anchor) and a
+    contrastive class branch (projected region features against L2-normalized
+    text embeddings with a learned logit scale/bias);
+  * fixed-shape post-processing: sigmoid scores, score threshold, class-aware
+    NMS (ops/nms.py), top-``max_dets``.
+
+Text embeddings come from the shared CLIP text tower (models/owlvit.py) and
+are computed ONCE per video, mirroring ``reparameterize_object_list``.
+
+Weight conversion from mmdet/mmyolo checkpoints is a declared TODO: the
+mmdet graph cannot be instantiated in this environment to validate a
+converter (no mmcv), so this backend currently runs from native Flax
+checkpoints or random init; the search-level contract (thresholds, NMS,
+interface) matches the reference and is tested in ``tests/test_yoloworld.py``.
+BatchNorm is folded into inference-time scale/bias parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+@dataclasses.dataclass(frozen=True)
+class YoloWorldConfig:
+    widths: Tuple[int, ...] = (64, 128, 256, 512, 512)   # stem + 4 stages
+    depths: Tuple[int, ...] = (1, 2, 2, 1)               # C2f bottlenecks/stage
+    neck_depth: int = 1
+    text_dim: int = 512           # CLIP text width
+    embed_dim: int = 256          # contrastive region-feature dim
+    reg_max: int = 16             # DFL bins
+    strides: Tuple[int, ...] = (8, 16, 32)
+    image_size: int = 640
+    score_threshold: float = 0.12   # search-path default (:136)
+    nms_iou: float = 0.7
+    max_dets: int = 50              # search-path default (:136)
+
+
+def yoloworld_small() -> YoloWorldConfig:
+    return YoloWorldConfig(widths=(32, 64, 128, 256, 256), depths=(1, 1, 1, 1))
+
+
+class ConvBN(nn.Module):
+    """Conv + folded-BN affine + SiLU (inference form)."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = nn.Conv(
+            self.features, (self.kernel, self.kernel), (self.stride, self.stride),
+            padding="SAME", use_bias=False, dtype=self.dtype, name="conv",
+        )(x)
+        scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
+        return nn.silu(x * scale.astype(self.dtype) + bias.astype(self.dtype))
+
+
+class Bottleneck(nn.Module):
+    features: int
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBN(self.features, 3, dtype=self.dtype, name="cv1")(x)
+        h = ConvBN(self.features, 3, dtype=self.dtype, name="cv2")(h)
+        return x + h if self.shortcut and x.shape[-1] == self.features else h
+
+
+class C2f(nn.Module):
+    """YOLOv8 cross-stage block: split, run bottlenecks, concat, fuse."""
+
+    features: int
+    depth: int = 1
+    shortcut: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        half = self.features // 2
+        y = ConvBN(self.features, 1, dtype=self.dtype, name="cv_in")(x)
+        a, b = y[..., :half], y[..., half:]
+        outs = [a, b]
+        for i in range(self.depth):
+            b = Bottleneck(half, self.shortcut, dtype=self.dtype, name=f"m{i}")(b)
+            outs.append(b)
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv_out")(
+            jnp.concatenate(outs, -1)
+        )
+
+
+class SPPF(nn.Module):
+    features: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvBN(self.features // 2, 1, dtype=self.dtype, name="cv1")(x)
+        pools = [h]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(pools[-1], (5, 5), strides=(1, 1), padding="SAME")
+            )
+        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+            jnp.concatenate(pools, -1)
+        )
+
+
+class MaxSigmoidAttn(nn.Module):
+    """YOLO-World text-guided modulation: per-pixel max-over-text sigmoid gate."""
+
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text_embeds):   # x (..., H, W, C), text (T, Dt)
+        c = x.shape[-1]
+        guide = nn.Dense(c, use_bias=False, dtype=self.dtype, name="guide")(
+            text_embeds.astype(self.dtype)
+        )                                                    # (T, C)
+        logit = jnp.einsum("...hwc,tc->...hwt", x, guide) / np.sqrt(c)
+        bias = self.param("bias", nn.initializers.zeros, ())
+        gate = jax.nn.sigmoid(jnp.max(logit, -1) + bias.astype(self.dtype))
+        return x * gate[..., None] * 2.0
+
+
+class TextC2f(nn.Module):
+    """C2f followed by max-sigmoid text attention (T-CSPLayer analogue)."""
+
+    features: int
+    depth: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, text_embeds):
+        h = C2f(self.features, self.depth, shortcut=False, dtype=self.dtype, name="c2f")(x)
+        return MaxSigmoidAttn(dtype=self.dtype, name="attn")(h, text_embeds)
+
+
+def _upsample2(x):
+    b, h, w, c = x.shape
+    return jax.image.resize(x, (b, 2 * h, 2 * w, c), "nearest")
+
+
+class YoloWorldDetector(nn.Module):
+    cfg: YoloWorldConfig
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(
+        self, pixels: jax.Array, text_embeds: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """pixels (B, S, S, 3) in [0,1]; text (T, text_dim) L2-normalized.
+
+        Returns (logits (B, A, T) f32 pre-sigmoid, boxes_xyxy (B, A, 4) f32
+        in pixels) over all anchors A = sum(S/stride)^2.
+        """
+        c = self.cfg
+        w = c.widths
+        x = ConvBN(w[0], 3, 2, dtype=self.dtype, name="stem")(pixels.astype(self.dtype))
+
+        feats: List[jax.Array] = []
+        for i, (width, depth) in enumerate(zip(w[1:], c.depths)):
+            x = ConvBN(width, 3, 2, dtype=self.dtype, name=f"down{i}")(x)
+            x = C2f(width, depth, dtype=self.dtype, name=f"stage{i}")(x)
+            if i >= 1:
+                feats.append(x)          # strides 8, 16, 32
+        p3, p4, p5 = feats
+        p5 = SPPF(w[4], dtype=self.dtype, name="sppf")(p5)
+
+        # top-down PAN with text guidance
+        t4 = TextC2f(w[3], c.neck_depth, dtype=self.dtype, name="td4")(
+            jnp.concatenate([_upsample2(p5), p4], -1), text_embeds
+        )
+        t3 = TextC2f(w[2], c.neck_depth, dtype=self.dtype, name="td3")(
+            jnp.concatenate([_upsample2(t4), p3], -1), text_embeds
+        )
+        # bottom-up
+        b4 = TextC2f(w[3], c.neck_depth, dtype=self.dtype, name="bu4")(
+            jnp.concatenate([ConvBN(w[2], 3, 2, dtype=self.dtype, name="bu4_down")(t3), t4], -1),
+            text_embeds,
+        )
+        b5 = TextC2f(w[4], c.neck_depth, dtype=self.dtype, name="bu5")(
+            jnp.concatenate([ConvBN(w[3], 3, 2, dtype=self.dtype, name="bu5_down")(b4), p5], -1),
+            text_embeds,
+        )
+
+        all_logits, all_boxes = [], []
+        text_n = text_embeds / (
+            jnp.linalg.norm(text_embeds, axis=-1, keepdims=True) + 1e-6
+        )
+        for li, (feat, stride) in enumerate(zip([t3, b4, b5], c.strides)):
+            # box branch: DFL distributions
+            h = ConvBN(feat.shape[-1], 3, dtype=self.dtype, name=f"box{li}_1")(feat)
+            dfl = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype, name=f"box{li}_2")(h)
+            # class branch: contrastive region-text similarity
+            h = ConvBN(feat.shape[-1], 3, dtype=self.dtype, name=f"cls{li}_1")(feat)
+            emb = nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype, name=f"cls{li}_2")(h)
+            emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
+            proj = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype,
+                            name=f"cls{li}_text")(text_n.astype(self.dtype))
+            proj = proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-6)
+            logit_scale = self.param(f"scale{li}", nn.initializers.ones, ())
+            logit_bias = self.param(f"bias{li}", nn.initializers.zeros, ())
+            logits = (
+                jnp.einsum("bhwc,tc->bhwt", emb, proj) * logit_scale * 10.0
+                + logit_bias
+            )
+
+            # DFL decode: expectation over bins -> l/t/r/b in stride units
+            b, hh, ww, _ = dfl.shape
+            dist = dfl.reshape(b, hh, ww, 4, c.reg_max)
+            bins = jnp.arange(c.reg_max, dtype=jnp.float32)
+            ltrb = jnp.einsum(
+                "bhwkr,r->bhwk", jax.nn.softmax(dist.astype(jnp.float32), -1), bins
+            )
+            cy, cx = jnp.meshgrid(
+                jnp.arange(hh, dtype=jnp.float32) + 0.5,
+                jnp.arange(ww, dtype=jnp.float32) + 0.5,
+                indexing="ij",
+            )
+            x0 = (cx - ltrb[..., 0]) * stride
+            y0 = (cy - ltrb[..., 1]) * stride
+            x1 = (cx + ltrb[..., 2]) * stride
+            y1 = (cy + ltrb[..., 3]) * stride
+            boxes = jnp.stack([x0, y0, x1, y1], -1)
+
+            all_logits.append(logits.reshape(b, hh * ww, -1).astype(jnp.float32))
+            all_boxes.append(boxes.reshape(b, hh * ww, 4))
+        return jnp.concatenate(all_logits, 1), jnp.concatenate(all_boxes, 1)
+
+
+def postprocess_yolo(
+    logits: jax.Array,      # (B, A, T)
+    boxes: jax.Array,       # (B, A, 4)
+    query_mask: Optional[jax.Array],
+    score_threshold: float = 0.12,
+    nms_iou: float = 0.7,
+    max_dets: int = 50,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """-> (scores (B, max_dets), class_ids, boxes_xyxy, keep mask).
+
+    Mirrors the reference's search-path post-processing
+    (interface_heuristic.py:143-165: threshold, per-class NMS in test_step,
+    top-max_dets).
+    """
+    from tstar_tpu.ops.nms import batched_class_nms
+
+    if query_mask is not None:
+        neg = jnp.finfo(jnp.float32).min
+        logits = jnp.where(query_mask[None, None, :], logits, neg)
+    probs = jax.nn.sigmoid(logits)
+    scores = jnp.max(probs, -1)
+    class_ids = jnp.argmax(probs, -1).astype(jnp.int32)
+
+    def one(s, c, b):
+        s = jnp.where(s > score_threshold, s, 0.0)
+        keep, valid = batched_class_nms(b, s, c, nms_iou, max_dets)
+        out_s = s[keep] * valid
+        return out_s, c[keep], b[keep], valid & (out_s > score_threshold)
+
+    return jax.vmap(one)(scores, class_ids, boxes)
