@@ -57,9 +57,16 @@ class OwlVitScorer:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
-        pixels = build_detector_grid(
-            self.cache, secs, grid_shape, size, dtype=self.model.dtype
-        )
+        if cfg.use_pallas_preprocess:
+            from tstar_tpu.kernels.pallas_grid import build_detector_grid_pallas
+
+            pixels = build_detector_grid_pallas(
+                self.cache, secs, grid_shape, size, dtype=self.model.dtype
+            )
+        else:
+            pixels = build_detector_grid(
+                self.cache, secs, grid_shape, size, dtype=self.model.dtype
+            )
         scores, class_ids, boxes = self._detect(pixels)
         keep = scores[0] > cfg.detector_threshold
         conf_map, presence = splat_detections_to_cells(

@@ -58,11 +58,15 @@ class SearchConfig:
     cell_hw: Tuple[int, int] = (95, 200)      # grid cell size (interface_searcher.py:186)
     frame_hw: Tuple[int, int] = (380, 800)    # sampled-frame resize (interface_searcher.py:362)
     verify_hw: Tuple[int, int] = (285, 600)   # verification resize (interface_searcher.py:403)
-    cache_hw: Tuple[int, int] = (190, 400)    # HBM frame-cache resolution (ours; 2x cell)
+    # HBM frame-cache resolution (ours).  Chosen TPU-aligned: height % 32 == 0
+    # and width*3 % 128 == 0 so the fused Pallas grid builder can DMA frames
+    # directly; also >= the 192px detector cell in both dims.
+    cache_hw: Tuple[int, int] = (192, 384)
 
     # --- engine behaviour (ours) ---
     deterministic_pop: bool = False   # True: top-k keyframes instead of sampled
     max_iterations: Optional[int] = None  # override; default derived from budget
+    use_pallas_preprocess: bool = False   # fused Pallas grid builder (TPU)
 
     @property
     def frames_per_iteration(self) -> int:
