@@ -159,6 +159,22 @@ class KeyframeSearcher:
             dec.close()
         return frames, timestamps
 
+    # -- snapshot / resume (SURVEY.md §5.4) ---------------------------------
+    def save_snapshot(self, path: str) -> str:
+        """Persist the current search state (resumable mid-video)."""
+        from tstar_tpu.search.snapshot import save_state
+
+        state = self._final_state if self._final_state is not None else self._state0
+        return save_state(state, path)
+
+    def restore_snapshot(self, path: str) -> None:
+        """Resume from a snapshot: the next search() continues the exact
+        stochastic trajectory (the PRNG key is part of the state)."""
+        from tstar_tpu.search.snapshot import load_state
+
+        self._state0 = load_state(path)
+        self._final_state = None
+
     # -- artifacts ----------------------------------------------------------
     def plot_score_distribution(self, save_path: Optional[str] = None):
         from tstar_tpu.viz.artifacts import plot_score_distribution
