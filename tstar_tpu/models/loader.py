@@ -111,8 +111,26 @@ def qwen2vl_config_from_hf_json(cfg: Dict[str, Any]):
     t = cfg.get("text_config", cfg)
     v = cfg["vision_config"]
     rope_scaling = t.get("rope_scaling") or cfg.get("rope_scaling") or {}
-    return Qwen2VLConfig(
-        vision=Qwen2VLVisionConfig(
+    is_25 = "window_size" in v or "out_hidden_size" in v or (
+        cfg.get("model_type", "").startswith("qwen2_5")
+    )
+    if is_25:
+        from tstar_tpu.models.qwen25_vision import Qwen25VisionConfig
+
+        vision = Qwen25VisionConfig(
+            depth=v.get("depth", 32),
+            embed_dim=v.get("hidden_size", v.get("embed_dim", 1280)),
+            num_heads=v.get("num_heads", 16),
+            intermediate_size=v.get("intermediate_size", 3456),
+            patch_size=v.get("patch_size", 14),
+            temporal_patch_size=v.get("temporal_patch_size", 2),
+            spatial_merge_size=v.get("spatial_merge_size", 2),
+            hidden_size=v.get("out_hidden_size", t.get("hidden_size", 3584)),
+            window_size=v.get("window_size", 112),
+            fullatt_block_indexes=tuple(v.get("fullatt_block_indexes", (7, 15, 23, 31))),
+        )
+    else:
+        vision = Qwen2VLVisionConfig(
             depth=v.get("depth", 32),
             embed_dim=v.get("embed_dim", 1280),
             num_heads=v.get("num_heads", 16),
@@ -121,7 +139,9 @@ def qwen2vl_config_from_hf_json(cfg: Dict[str, Any]):
             temporal_patch_size=v.get("temporal_patch_size", 2),
             spatial_merge_size=v.get("spatial_merge_size", 2),
             hidden_size=v.get("hidden_size", t.get("hidden_size", 3584)),
-        ),
+        )
+    return Qwen2VLConfig(
+        vision=vision,
         text=Qwen2VLTextConfig(
             vocab_size=t.get("vocab_size", 152064),
             hidden_size=t.get("hidden_size", 3584),

@@ -326,7 +326,17 @@ class Qwen2VLModel(nn.Module):
             self.lm_head = nn.Dense(
                 t.vocab_size, use_bias=False, dtype=self.dtype, name="lm_head"
             )
-        self.vision = Qwen2VLVisionTower(self.cfg.vision, dtype=self.dtype, name="visual")
+        if hasattr(self.cfg.vision, "window_size"):
+            # Qwen2.5-VL vision variant (RMSNorm/SwiGLU/window attention).
+            from tstar_tpu.models.qwen25_vision import Qwen25VisionTower
+
+            self.vision = Qwen25VisionTower(
+                self.cfg.vision, dtype=self.dtype, name="visual"
+            )
+        else:
+            self.vision = Qwen2VLVisionTower(
+                self.cfg.vision, dtype=self.dtype, name="visual"
+            )
 
     def encode_images(self, patches: jax.Array, grid_hw: Tuple[int, int]) -> jax.Array:
         """(N_imgs, P, patch_dim) -> (N_imgs, P/merge^2, hidden)."""
@@ -474,6 +484,12 @@ def convert_hf_qwen2vl_state_dict(sd: Dict[str, Any], cfg: Qwen2VLConfig) -> Dic
     def vp(name):
         return (f"visual.{name}", f"model.visual.{name}")
 
+    if hasattr(v, "window_size"):
+        from tstar_tpu.models.qwen25_vision import convert_hf_qwen25_vision
+
+        vision_params = convert_hf_qwen25_vision(sd, v)
+        return _assemble_lm_params(sd, cfg, vision_params)
+
     vision_params: Dict[str, Any] = {
         "patch_embed": {
             "kernel": _t(pick(*vp("patch_embed.proj.weight"))).reshape(v.embed_dim, -1).T
@@ -492,7 +508,28 @@ def convert_hf_qwen2vl_state_dict(sd: Dict[str, Any], cfg: Qwen2VLConfig) -> Dic
             "fc2": linear(*vp(f"blocks.{i}.mlp.fc2.weight")),
         }
 
+    return _assemble_lm_params(sd, cfg, vision_params)
+
+
+def _assemble_lm_params(sd: Dict[str, Any], cfg: Qwen2VLConfig, vision_params: Dict) -> Dict:
+    def pick(*names):
+        for n in names:
+            if n in sd:
+                return sd[n]
+        raise KeyError(names[0])
+
+    def linear(*names, bias=True):
+        w = pick(*names)
+        out = {"kernel": _t(w).T}
+        if bias:
+            out["bias"] = _t(pick(*[n.replace(".weight", ".bias") for n in names]))
+        return out
+
+    def rms(*names):
+        return {"scale": _t(pick(*names))}
+
     t = cfg.text
+
     def tp(name):
         return (
             f"model.language_model.{name}",
