@@ -58,6 +58,61 @@ def checkpoint_dir(tmp_path_factory):
     return str(d)
 
 
+@pytest.fixture(scope="module")
+def llava_checkpoint_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("llava_ckpt")
+    cfg = transformers.LlavaOnevisionConfig(
+        text_config=dict(
+            model_type="qwen2", vocab_size=151700, hidden_size=32,
+            num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+            intermediate_size=64, rope_theta=10000.0,
+            max_position_embeddings=4096, tie_word_embeddings=False,
+        ),
+        vision_config=dict(
+            model_type="siglip_vision_model", hidden_size=16,
+            num_hidden_layers=2, num_attention_heads=2, intermediate_size=32,
+            patch_size=2, image_size=8, num_channels=3,
+        ),
+        image_token_index=151646, video_token_index=151647,
+        image_grid_pinpoints=[[8, 8]], vision_feature_layer=-1,
+        vision_feature_select_strategy="full",
+    )
+    torch.manual_seed(0)
+    model = transformers.LlavaOnevisionForConditionalGeneration(cfg)
+    from safetensors.torch import save_file
+
+    save_file(
+        {k: v.contiguous() for k, v in model.state_dict().items()},
+        str(d / "model.safetensors"),
+    )
+    (d / "config.json").write_text(cfg.to_json_string())
+
+    from tstar_tpu.models.qwen_tokenizer import _bytes_to_unicode
+
+    b2u = _bytes_to_unicode()
+    vocab = {}
+    for b in range(256):
+        vocab.setdefault(b2u[b], len(vocab))
+    (d / "vocab.json").write_text(json.dumps(vocab))
+    (d / "merges.txt").write_text("#version: 0.2\n")
+    return str(d)
+
+
+class TestLlavaBackendEndToEnd:
+    def test_grounder_dispatch_and_inference(self, llava_checkpoint_dir):
+        g = UniversalGrounder(
+            model_name="llava-onevision", model_path=llava_checkpoint_dir
+        )
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, (32, 48, 3), np.uint8) for _ in range(3)]
+        out = g.inference_qa(frames, "What color?", "A) Red\nB) Blue",
+                             temperature=0.0)
+        assert isinstance(out, str)
+        out2 = g.inference_qa(frames, "What color?", "A) Red\nB) Blue",
+                              temperature=0.0)
+        assert out == out2  # greedy determinism through the facade
+
+
 class TestJaxVLMBackendEndToEnd:
     def test_grounder_dispatch_and_inference(self, checkpoint_dir):
         import jax.numpy as jnp

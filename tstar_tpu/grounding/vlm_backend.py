@@ -30,12 +30,15 @@ class JaxVLMBackend:
         import jax
         import jax.numpy as jnp
 
-        from tstar_tpu.models.loader import load_qwen2vl_checkpoint
+        from tstar_tpu.models.loader import load_vlm_checkpoint
 
         dtype = dtype if dtype is not None else jnp.bfloat16
-        self.model, self.variables, self.tokenizer = load_qwen2vl_checkpoint(
+        self.model, self.variables, self.tokenizer = load_vlm_checkpoint(
             model_path, dtype=dtype
         )
+        from tstar_tpu.models.llava_onevision import LlavaOnevisionModel
+
+        self._is_llava = isinstance(self.model, LlavaOnevisionModel)
         if mesh is not None:
             from tstar_tpu.parallel.shardings import shard_variables
 
@@ -55,14 +58,20 @@ class JaxVLMBackend:
         import jax.numpy as jnp
 
         from tstar_tpu.models.generate import generate
-        from tstar_tpu.models.qwen2vl_processor import prepare_vlm_inputs
 
         frames = [np.asarray(f) for f in (frames or [])]
-        inputs = prepare_vlm_inputs(
-            self.tokenizer, query, frames, self.model.cfg.vision,
-            max_pixels=self.max_pixels,
-            image_token_id=self.model.cfg.image_token_id,
-        )
+        if self._is_llava:
+            from tstar_tpu.models.llava_onevision import prepare_llava_inputs
+
+            inputs = prepare_llava_inputs(self.tokenizer, query, frames, self.model.cfg)
+        else:
+            from tstar_tpu.models.qwen2vl_processor import prepare_vlm_inputs
+
+            inputs = prepare_vlm_inputs(
+                self.tokenizer, query, frames, self.model.cfg.vision,
+                max_pixels=self.max_pixels,
+                image_token_id=self.model.cfg.image_token_id,
+            )
         self._rng, key = jax.random.split(self._rng)
         patches = inputs["image_patches"]
         tokens = generate(

@@ -177,6 +177,71 @@ def load_qwen2vl_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
     return model, variables, tokenizer
 
 
+def llava_onevision_config_from_hf_json(cfg: Dict[str, Any]):
+    from tstar_tpu.models.llava_onevision import LlavaOnevisionConfig
+    from tstar_tpu.models.qwen2vl import Qwen2VLTextConfig
+    from tstar_tpu.models.siglip import SiglipVisionConfig
+
+    t = cfg["text_config"]
+    v = cfg["vision_config"]
+    head_dim = t.get("hidden_size", 3584) // t.get("num_attention_heads", 28)
+    return LlavaOnevisionConfig(
+        vision=SiglipVisionConfig(
+            hidden_size=v.get("hidden_size", 1152),
+            num_layers=v.get("num_hidden_layers", 27),
+            num_heads=v.get("num_attention_heads", 16),
+            intermediate_size=v.get("intermediate_size", 4304),
+            patch_size=v.get("patch_size", 14),
+            image_size=v.get("image_size", 384),
+        ),
+        text=Qwen2VLTextConfig(
+            vocab_size=t.get("vocab_size", 152064),
+            hidden_size=t.get("hidden_size", 3584),
+            num_layers=t.get("num_hidden_layers", 28),
+            num_heads=t.get("num_attention_heads", 28),
+            num_kv_heads=t.get("num_key_value_heads", 4),
+            intermediate_size=t.get("intermediate_size", 18944),
+            rms_norm_eps=t.get("rms_norm_eps", 1e-6),
+            rope_theta=t.get("rope_theta", 1e6),
+            mrope_section=(head_dim // 2, 0, 0),   # plain 1-D rope
+            tie_word_embeddings=t.get("tie_word_embeddings", False),
+        ),
+        image_token_id=cfg.get("image_token_index", 151646),
+        video_token_id=cfg.get("video_token_index", 151647),
+        vision_feature_layer=cfg.get("vision_feature_layer", -1),
+        vision_feature_select_strategy=cfg.get(
+            "vision_feature_select_strategy", "full"
+        ),
+        projector_bias=cfg.get("multimodal_projector_bias", True),
+    )
+
+
+def load_llava_onevision_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
+    from tstar_tpu.models.llava_onevision import (
+        LlavaOnevisionModel,
+        convert_hf_llava_onevision_state_dict,
+    )
+    from tstar_tpu.models.qwen_tokenizer import QwenTokenizer
+
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = llava_onevision_config_from_hf_json(hf_cfg)
+    sd = _read_sharded_state_dict(checkpoint_dir)
+    variables = convert_hf_llava_onevision_state_dict(sd, cfg)
+    model = LlavaOnevisionModel(cfg, dtype=dtype)
+    tokenizer = QwenTokenizer.from_dir(checkpoint_dir)
+    return model, variables, tokenizer
+
+
+def load_vlm_checkpoint(checkpoint_dir: str, dtype=jnp.bfloat16):
+    """Family-dispatching VLM loader: reads config.json model_type."""
+    with open(os.path.join(checkpoint_dir, "config.json")) as f:
+        model_type = json.load(f).get("model_type", "")
+    if model_type.startswith("llava_onevision"):
+        return load_llava_onevision_checkpoint(checkpoint_dir, dtype)
+    return load_qwen2vl_checkpoint(checkpoint_dir, dtype)
+
+
 def save_flax_params(variables: Dict, checkpoint_dir: str, filename: str) -> str:
     """Save a Flax params pytree as a flat .npz (native checkpoint format)."""
     import numpy as np

@@ -23,7 +23,8 @@ def quick_gelu(x: jax.Array) -> jax.Array:
 
 ACTIVATIONS: dict[str, Callable] = {
     "quick_gelu": quick_gelu,
-    "gelu": nn.gelu,
+    "gelu": lambda x: nn.gelu(x, approximate=False),
+    "gelu_tanh": lambda x: nn.gelu(x, approximate=True),
     "silu": nn.silu,
 }
 
