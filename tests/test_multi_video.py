@@ -1,0 +1,76 @@
+"""Batched multi-video public API over real synthetic videos."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tstar_tpu.framework.heuristics import OwlVitHeuristic
+from tstar_tpu.models.clip_tokenizer import HashTokenizer
+from tstar_tpu.models.owlvit import OwlViTConfig, OwlViTDetector, TextConfig, VisionConfig
+from tstar_tpu.parallel.multi_video import VideoTask, search_videos
+from tstar_tpu.utils.config import SearchConfig
+from tstar_tpu.video.synthetic import PlantedObject, write_synthetic_video
+
+cv2 = pytest.importorskip("cv2")
+
+TINY = OwlViTConfig(
+    vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                        intermediate_size=64, patch_size=16, image_size=64),
+    text=TextConfig(vocab_size=100, hidden_size=24, num_layers=2, num_heads=4,
+                    intermediate_size=48, max_length=8),
+    projection_dim=24,
+)
+
+
+def _tiny_heuristic():
+    import jax
+
+    h = OwlVitHeuristic.__new__(OwlVitHeuristic)
+    h.name = "owl-vit-tiny"
+    h.model = OwlViTDetector(TINY, dtype=jnp.float32)
+    h.variables = h.model.init(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((2, 8), jnp.int32)
+    )
+    h.tokenizer = HashTokenizer(vocab_size=100, context=8)
+    return h
+
+
+@pytest.fixture(scope="module")
+def videos(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mv")
+    paths = []
+    for i, dur in enumerate([40.0, 70.0]):   # different lengths -> pad bucket
+        p = str(d / f"v{i}.mp4")
+        write_synthetic_video(
+            p, duration_sec=dur, fps=10.0, hw=(48, 64),
+            objects=[PlantedObject("couch", (10.0, 15.0), (200, 40, 40), (0.5, 0.5), 0.4)],
+        )
+        paths.append(p)
+    return paths
+
+
+class TestSearchVideos:
+    def test_batched_over_different_lengths(self, videos):
+        cfg = SearchConfig(search_budget=0.5, cache_hw=(32, 64))
+        tasks = [
+            VideoTask(videos[0], ["couch"], ["tv"], seed=0),
+            VideoTask(videos[1], ["couch"], ["lamp"], seed=1),
+        ]
+        results = search_videos(tasks, _tiny_heuristic(), cfg)
+        assert len(results) == 2
+        for r, dur in zip(results, [40, 70]):
+            assert len(r["keyframe_timestamps"]) == cfg.search_nframes
+            assert r["iterations"] >= 1
+            # keyframes stay inside each video's true duration despite padding
+            assert max(r["keyframe_secs"]) < dur
+
+    def test_rejects_table_scorer_backends(self, videos):
+        from tstar_tpu.framework.heuristics import initialize_heuristic
+
+        cfg = SearchConfig(search_budget=0.25, cache_hw=(32, 64))
+        with pytest.raises(TypeError, match="OwlVitScorer"):
+            search_videos(
+                [VideoTask(videos[0], ["couch"], [])],
+                initialize_heuristic("color-probe"),
+                cfg,
+            )

@@ -5,3 +5,4 @@ from tstar_tpu.parallel.batched import (  # noqa: F401
     scorer_batch_axes,
 )
 from tstar_tpu.parallel.shardings import owlvit_param_shardings  # noqa: F401
+from tstar_tpu.parallel.multi_video import VideoTask, search_videos  # noqa: F401
