@@ -48,7 +48,83 @@ class HeuristicBackend(Protocol):
     ) -> Scorer: ...
 
 
-class OwlVitHeuristic:
+class _DetectorCompatMixin:
+    """Reference-compatible detector surface (interface_heuristic.py):
+    ``reparameterize_object_list`` / ``inference_detector`` /
+    ``bbox_visualization`` / ``texts`` — for users porting code that drives
+    the detector directly rather than through the search engine."""
+
+    texts: list = []
+
+    def reparameterize_object_list(self, target_objects, cue_objects):
+        """Set the text prompts (interface_heuristic.py:78-93,268-280)."""
+        combined = list(target_objects) + list(cue_objects)
+        self.texts = [[obj.strip()] for obj in combined] + [[" "]]
+        self._compat_targets = list(target_objects)
+        self._compat_cues = list(cue_objects)
+
+    def inference_detector(self, images, score_threshold: float = 0.005, **kw):
+        """Detect on a batch of HWC uint8 images -> list of detection dicts
+        {"xyxy", "confidence", "class_id"} (numpy), one per image."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tstar_tpu.kernels.image import bilinear_resize, normalize_clip
+        from tstar_tpu.models.owlvit import OwlViTDetector, postprocess_detections
+
+        if not getattr(self, "texts", None):
+            raise RuntimeError("call reparameterize_object_list first")
+        ids, mask = self.tokenizer.encode_batch([t[0] for t in self.texts])
+        queries = self.model.apply(
+            self.variables, jnp.asarray(ids), jnp.asarray(mask),
+            method=OwlViTDetector.encode_text,
+        )
+        size = self.model.cfg.vision.image_size
+        out = []
+        for image in images:
+            image = np.asarray(image)
+            px = normalize_clip(
+                bilinear_resize(jnp.asarray(image), (size, size)),
+                self.model.dtype,
+            )[None]
+            feats = self.model.apply(
+                self.variables, px, method=OwlViTDetector.encode_image
+            )
+            logits, boxes = self.model.apply(
+                self.variables, feats, queries, None, method=OwlViTDetector.predict
+            )
+            scores, cls, xyxy = postprocess_detections(
+                logits, boxes, image.shape[:2]
+            )
+            keep = np.asarray(scores[0]) > score_threshold
+            out.append(
+                {
+                    "xyxy": np.asarray(xyxy[0])[keep],
+                    "confidence": np.asarray(scores[0])[keep],
+                    "class_id": np.asarray(cls[0])[keep],
+                }
+            )
+        self.detections_inbatch = out
+        return out
+
+    def bbox_visualization(self, images, detections_inbatch):
+        """Annotated copies of the images (interface_heuristic.py:259-267)."""
+        from tstar_tpu.viz.boxes import draw_boxes
+
+        out = []
+        for image, det in zip(images, detections_inbatch):
+            labels = [
+                f"{self.texts[c][0]} {s:.2f}"
+                for c, s in zip(det["class_id"], det["confidence"])
+                if c < len(self.texts)
+            ]
+            out.append(
+                draw_boxes(image, det["xyxy"], labels=labels, class_ids=det["class_id"])
+            )
+        return out
+
+
+class OwlVitHeuristic(_DetectorCompatMixin):
     """Flax OWL-ViT backend (reference default, TStarFramework.py:175-179)."""
 
     def __init__(self, checkpoint_dir: Optional[str] = None, dtype=None, seed: int = 0):

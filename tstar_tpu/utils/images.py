@@ -77,6 +77,21 @@ def save_frames_as_jpegs(
     return paths
 
 
+def extract_frames_from_gif(input_gif_path: str, output_dir: str) -> int:
+    """Explode a GIF into PNG frames (utilites.py:141-162)."""
+    from PIL import Image, ImageSequence
+
+    base = os.path.basename(input_gif_path).split(".")[0]
+    subdir = os.path.join(output_dir, base)
+    os.makedirs(subdir, exist_ok=True)
+    count = 0
+    with Image.open(input_gif_path) as gif:
+        for i, frame in enumerate(ImageSequence.Iterator(gif)):
+            frame.convert("RGB").save(os.path.join(subdir, f"frame_{i + 1}.png"))
+            count += 1
+    return count
+
+
 def extract_frames_at_fps(video_path: str, output_dir: str, fps: float = 1.0) -> int:
     """Decimate a video to JPEGs at the given rate (utilites.py:107-138)."""
     from PIL import Image
