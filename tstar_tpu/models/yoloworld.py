@@ -31,7 +31,7 @@ BatchNorm is folded into inference-time scale/bias parameters.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

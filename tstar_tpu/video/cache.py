@@ -14,10 +14,9 @@ longer videos should lower ``SearchConfig.cache_hw`` or page (future work).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from tstar_tpu.utils.config import SearchConfig

@@ -3,7 +3,7 @@ annotators, ``TStar/interface_heuristic.py:170-190,259-267``)."""
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 
