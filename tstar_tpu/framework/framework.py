@@ -166,11 +166,20 @@ class TStarFramework:
 
     # -- entry --------------------------------------------------------------
     def run(self) -> dict:
-        targets, cues = self.get_grounded_objects()
-        searcher = self.initialize_videoSearcher(targets, cues)
-        frames, timestamps = self.perform_search(searcher, visualization=True)
-        answer = self.perform_qa(frames)
+        from tstar_tpu.utils.profiling import StageTimer
+
+        timer = StageTimer()
+        with timer.stage("grounding"):
+            targets, cues = self.get_grounded_objects()
+        with timer.stage("decode_and_setup"):
+            searcher = self.initialize_videoSearcher(targets, cues)
+        with timer.stage("search"):
+            frames, timestamps = self.perform_search(searcher, visualization=True)
+        with timer.stage("qa"):
+            answer = self.perform_qa(frames)
         logger.info("Answer: %s", answer)
+        self.results["Timings"] = timer.report()
+        logger.info("Stage timings: %s", self.results["Timings"])
         return {
             "Grounding Objects": {"target_objects": targets, "cue_objects": cues},
             "Frame Timestamps": timestamps,

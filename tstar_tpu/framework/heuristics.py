@@ -312,28 +312,17 @@ class YoloWorldHeuristic:
 
     def build_scorer(self, cache, target_objects, cue_objects, config):
         import jax.numpy as jnp
-        import numpy as np
 
+        from tstar_tpu.search.detector_scorer import build_prompt_batch
         from tstar_tpu.search.yolo_scorer import YoloWorldScorer
 
-        texts = [t.strip() for t in target_objects] + [
-            c.strip() for c in cue_objects
-        ] + [" "]
-        q = config.max_objects
-        if len(texts) > q:
-            raise ValueError(f"{len(texts)} prompts > max_objects={q}")
-        ids, mask = self.tokenizer.encode_batch(texts)
-        ids_pad = np.zeros((q, ids.shape[1]), np.int32)
-        mask_pad = np.zeros((q, ids.shape[1]), np.int32)
-        ids_pad[: len(texts)] = ids
-        mask_pad[: len(texts)] = mask
-        mask_pad[len(texts):, 0] = 1
+        ids_pad, mask_pad, weights = build_prompt_batch(
+            target_objects, cue_objects, self.tokenizer, config
+        )
         pooled = self.text_model.apply(
             self.text_variables, jnp.asarray(ids_pad), jnp.asarray(mask_pad)
         )
         text_embeds = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-6)
-        weights = np.full((q,), config.cue_weight, np.float32)
-        weights[: len(target_objects)] = config.target_weight
         return YoloWorldScorer(
             cache=cache,
             variables=self.variables,

@@ -95,6 +95,49 @@ class OwlVitScorer:
         return conf, presence
 
 
+def build_prompt_batch(
+    target_objects: Sequence[str],
+    cue_objects: Sequence[str],
+    tokenizer,
+    config: SearchConfig,
+):
+    """Tokenize + pad the prompt set to static shapes.
+
+    Layout (interface_searcher.py:87-91 + interface_heuristic.py:268-280):
+    targets first (weight 1.0), cues (0.5), the ' ' padding prompt (0.5),
+    then masked zero rows up to ``config.max_objects``.  Target slot t of
+    the engine's remaining-mask == class slot t.
+
+    Returns (ids (Q, S) int32, attention_mask (Q, S) int32, weights (Q,) f32).
+    """
+    n_targets = len(target_objects)
+    if n_targets > config.max_targets:
+        raise ValueError(
+            f"{n_targets} targets > max_targets={config.max_targets}; "
+            "raise SearchConfig.max_targets"
+        )
+    texts: List[str] = [t.strip() for t in target_objects] + [
+        c.strip() for c in cue_objects
+    ] + [" "]
+    if len(texts) > config.max_objects:
+        raise ValueError(
+            f"{len(texts)} prompts > max_objects={config.max_objects}; "
+            "raise SearchConfig.max_objects"
+        )
+    ids, mask = tokenizer.encode_batch(texts)
+    q = config.max_objects
+    ids_pad = np.zeros((q, ids.shape[1]), np.int32)
+    mask_pad = np.zeros((q, ids.shape[1]), np.int32)
+    ids_pad[: len(texts)] = ids
+    mask_pad[: len(texts)] = mask
+    # Padding rows attend to their first (zero) token so the text tower stays
+    # finite; their outputs are discarded via the query mask anyway.
+    mask_pad[len(texts):, 0] = 1
+    weights = np.full((q,), config.cue_weight, np.float32)
+    weights[:n_targets] = config.target_weight
+    return ids_pad, mask_pad, weights
+
+
 def make_owlvit_scorer(
     model: OwlViTDetector,
     variables: Any,
@@ -112,39 +155,14 @@ def make_owlvit_scorer(
     ``config.max_objects`` so shapes stay static.  Target slot t of the
     engine's remaining-mask corresponds to class slot t here.
     """
-    n_targets = len(target_objects)
-    if n_targets > config.max_targets:
-        raise ValueError(
-            f"{n_targets} targets > max_targets={config.max_targets}; "
-            "raise SearchConfig.max_targets"
-        )
-    texts: List[str] = [t.strip() for t in target_objects] + [
-        c.strip() for c in cue_objects
-    ] + [" "]
-    if len(texts) > config.max_objects:
-        raise ValueError(
-            f"{len(texts)} prompts > max_objects={config.max_objects}; "
-            "raise SearchConfig.max_objects"
-        )
-
-    ids, mask = tokenizer.encode_batch(texts)
-    q = config.max_objects
-    ids_pad = np.zeros((q, ids.shape[1]), np.int32)
-    mask_pad = np.zeros((q, ids.shape[1]), np.int32)
-    ids_pad[: len(texts)] = ids
-    mask_pad[: len(texts)] = mask
-    # Padding rows attend to their first (zero) token so the text tower stays
-    # finite; their outputs are discarded via query_mask anyway.
-    mask_pad[len(texts):, 0] = 1
-
+    ids_pad, mask_pad, weights = build_prompt_batch(
+        target_objects, cue_objects, tokenizer, config
+    )
     query_embeds = model.apply(
         variables, jnp.asarray(ids_pad), jnp.asarray(mask_pad),
         method=OwlViTDetector.encode_text,
     )
     query_mask = jnp.asarray(ids_pad[:, 0] > 0)
-
-    weights = np.full((q,), config.cue_weight, np.float32)
-    weights[:n_targets] = config.target_weight
     return OwlVitScorer(
         cache=cache,
         variables=variables,
