@@ -45,40 +45,57 @@ def evaluate_search_results(
     threshold: float = 5.0,
     compute_ssim: bool = True,
     ssim_axis_convention: str = "reference",
+    max_workers: int = 4,
 ) -> Dict[str, float]:
     """Temporal PRF + SSIM PRF + ANND over search-result items.
 
     Items need {video_path, <frame_index_key> (pred timestamps in seconds),
-    gt_frame_index (raw frame indices)}.
+    gt_frame_index (raw frame indices)}.  Frame extraction parallelizes over
+    ``max_workers`` threads with results keyed by item INDEX — the reference
+    appends in thread-completion order, which misaligns its gt/pred lists
+    when early videos fail (val_tstar_results.py:309-348).
     """
-    gt_secs, pred_secs = [], []
-    gt_images, pred_images = [], []
+    from concurrent.futures import ThreadPoolExecutor
 
-    for idx, item in enumerate(result_data):
+    def one(idx_item):
+        idx, item = idx_item
         try:
             video_path = item["video_path"]
             pred_ts = list(item[frame_index_key])
             gt_idx = list(item["gt_frame_index"])
         except KeyError as e:
             logger.error("entry %d missing field %s", idx, e)
-            continue
+            return None
         try:
             from tstar_tpu.video.decoder import open_video
 
             dec = open_video(video_path)
             video_fps = dec.meta.fps
             dec.close()
-            gt_sec = [i / video_fps for i in gt_idx]
-            gt_secs.append(np.asarray(gt_sec))
-            pred_secs.append(np.asarray(pred_ts))
+            gt_sec = np.asarray([i / video_fps for i in gt_idx])
+            gt_img, pred_img = [], []
             if compute_ssim:
                 pred_frame_idx = [int(ts * video_fps) for ts in pred_ts]
                 frames = _extract_frames(video_path, gt_idx + pred_frame_idx)
-                gt_images.append(frames[: len(gt_idx)])
-                pred_images.append(frames[len(gt_idx):])
+                gt_img = frames[: len(gt_idx)]
+                pred_img = frames[len(gt_idx):]
+            return gt_sec, np.asarray(pred_ts), gt_img, pred_img
         except Exception as e:  # noqa: BLE001 — per-item continue
             logger.error("entry %d (%s) failed: %s", idx, video_path, e)
+            return None
+
+    with ThreadPoolExecutor(max_workers=max(1, max_workers)) as pool:
+        rows = list(pool.map(one, enumerate(result_data)))
+
+    gt_secs, pred_secs, gt_images, pred_images = [], [], [], []
+    for row in rows:
+        if row is None:
             continue
+        gt_secs.append(row[0])
+        pred_secs.append(row[1])
+        if compute_ssim:
+            gt_images.append(row[2])
+            pred_images.append(row[3])
 
     p, r, f1 = temporal_prf(gt_secs, pred_secs, threshold=threshold)
     metrics = {

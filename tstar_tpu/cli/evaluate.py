@@ -28,6 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--no_ssim", action="store_true")
     s.add_argument("--ssim_axis_convention", type=str, default="reference",
                    choices=["reference", "standard"])
+    s.add_argument("--max_workers", type=int, default=4)
     s.add_argument("--output_root", type=str, default="./results/lvhaystack_score")
 
     q = sub.add_parser("qa", help="QA accuracy")
@@ -61,6 +62,7 @@ def main(argv=None):
             threshold=args.threshold,
             compute_ssim=not args.no_ssim,
             ssim_axis_convention=args.ssim_axis_convention,
+            max_workers=args.max_workers,
         )
         os.makedirs(args.output_root, exist_ok=True)
         name = os.path.basename(args.search_result_path)
