@@ -38,6 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--search_budget", type=float, default=0.5)
     p.add_argument("--output_dir", type=str, default="./output")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--deterministic", action="store_true",
+                   help="top-k keyframe pop instead of sampled (reproducible)")
     p.add_argument("--json", action="store_true", help="print results as JSON")
     p.add_argument("--synthesize", action="store_true",
                    help="write a synthetic fixture video to --video_path first")
@@ -60,6 +62,10 @@ def main(argv=None):
         kwargs["checkpoint_dir"] = args.checkpoint_dir
     if args.heuristic_size:
         kwargs["size"] = args.heuristic_size
+    if args.deterministic:
+        from tstar_tpu.utils.config import SearchConfig
+
+        kwargs["config"] = SearchConfig(deterministic_pop=True)
     results = run_tstar(
         video_path=args.video_path,
         question=args.question,

@@ -200,6 +200,7 @@ def run_tstar(
     search_budget: float = 0.5,
     output_dir: str = "./output",
     seed: int = 0,
+    config: Optional[SearchConfig] = None,
     **heuristic_kwargs,
 ) -> dict:
     """One-shot API (reference run_tstar, TStarFramework.py:190-223)."""
@@ -218,5 +219,6 @@ def run_tstar(
         confidence_threshold=confidence_threshold,
         search_budget=search_budget,
         seed=seed,
+        config=config,
     )
     return fw.run()

@@ -7,7 +7,7 @@ device memory as a ``(N_pad, cache_h, cache_w, 3)`` uint8 tensor.  Every
 subsequent search iteration is pure on-device compute — the reference instead
 re-opens the video and decodes per iteration (``:157-169,361``).
 
-At the default 190x400 cache resolution a one-hour video is ~820 MB of HBM;
+At the default 192x384 cache resolution a one-hour video is ~800 MB of HBM;
 longer videos should lower ``SearchConfig.cache_hw`` or page (future work).
 """
 
