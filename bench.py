@@ -62,17 +62,18 @@ def main():
     )
     state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
 
-    # scorer passed as an argument: closed-over caches/weights would be
-    # inlined into the HLO as constants (hundreds of MB).
-    run = jax.jit(run_search, static_argnums=2)
-    # warmup/compile
-    final, secs = run(state, scorer, cfg)
+    from tstar_tpu.search.engine import run_search_chained
+
+    # warmup/compile (host-dispatched masked-step chain; bit-identical to
+    # the while_loop form but pipelines steps without per-iteration control
+    # overhead)
+    final, secs = run_search_chained(state, scorer, cfg)
     jax.block_until_ready((final.scores, secs))
     iters = int(final.iteration)
     frames_scored = iters * cfg.frames_per_iteration
 
     t0 = time.perf_counter()
-    final, secs = run(state, scorer, cfg)
+    final, secs = run_search_chained(state, scorer, cfg)
     jax.block_until_ready((final.scores, secs))
     ours_t = time.perf_counter() - t0
     ours_fps = frames_scored / ours_t

@@ -112,6 +112,31 @@ class TestEngineOracleEquivalence:
         )
         np.testing.assert_array_equal(secs, oracle.pop_secs)
 
+    def test_chained_dispatch_matches_while_loop(self):
+        from tstar_tpu.search.engine import run_search_chained
+
+        n_valid, n_targets, seed = 250, 2, 11
+        n_pad = CFG.padded_frames(n_valid)
+        tables = make_synthetic_tables(n_pad, n_valid, CFG.max_objects, n_targets, 42)
+        scorer = TableScorer(
+            grid_conf=jnp.asarray(tables.grid_conf),
+            grid_presence=jnp.asarray(tables.grid_presence),
+            verify_conf=jnp.asarray(tables.verify_conf),
+            verify_presence=jnp.asarray(tables.verify_presence),
+        )
+        s0 = init_state(n_valid, n_targets, CFG, jax.random.key(seed), n_pad=n_pad)
+        f_while, secs_while = jax.jit(run_search, static_argnums=2)(s0, scorer, CFG)
+        f_chain, secs_chain = run_search_chained(s0, scorer, CFG)
+        np.testing.assert_array_equal(np.asarray(secs_chain), np.asarray(secs_while))
+        np.testing.assert_array_equal(
+            np.asarray(f_chain.scores), np.asarray(f_while.scores)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(f_chain.remaining), np.asarray(f_while.remaining)
+        )
+        assert int(f_chain.iteration) == int(f_while.iteration)
+        assert int(f_chain.budget) == int(f_while.budget)
+
     def test_while_loop_matches_host_loop(self):
         # run_search (on-device while_loop) and run_search_with_history (host
         # loop over the same jitted step) must produce identical results.

@@ -11,7 +11,11 @@ from tstar_tpu.ops.sampling import (
     uniform_stride_indices,
     topk_indices,
 )
-from tstar_tpu.ops.splat import splat_detections_to_cells, window_splat
+from tstar_tpu.ops.splat import (
+    splat_detections_to_cells,
+    window_splat,
+    window_splat_literal,
+)
 
 
 class TestMaskedPercentile:
@@ -164,6 +168,27 @@ class TestWindowSplat:
         # A(10) raises B(12): 1.0/3 -> B splats 1/3 to 17: (1/3)/6
         assert got[12] == pytest.approx(1.0 / 3.0)
         assert got[17] == pytest.approx((1.0 / 3.0) / 6.0)
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_fast_equals_literal(self, seed):
+        # The optimized recurrence+scatter form must match the literal
+        # sequential loop bit-for-bit, including overlapping-window order
+        # effects (adjacent sampled seconds forced below).
+        rng = np.random.default_rng(seed)
+        n_valid, n_pad, k = 60, 128, 16
+        scores = np.zeros(n_pad, np.float32)
+        scores[:n_valid] = rng.random(n_valid, dtype=np.float32)
+        secs = rng.choice(n_valid, size=k, replace=False)  # dense -> overlaps
+        is_top = rng.random(k) < 0.5
+        a = window_splat(
+            jnp.asarray(scores), jnp.asarray(secs), jnp.asarray(is_top),
+            jnp.asarray(n_valid),
+        )
+        b = window_splat_literal(
+            jnp.asarray(scores), jnp.asarray(secs), jnp.asarray(is_top),
+            jnp.asarray(n_valid),
+        )
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
     def test_boundary_clipping(self):
         n_pad, n_valid = 128, 100

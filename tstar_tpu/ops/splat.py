@@ -58,14 +58,15 @@ def splat_detections_to_cells(
     return conf_flat.reshape(rows, cols), presence
 
 
-def window_splat(
+def window_splat_literal(
     score_distribution: jax.Array,   # (N_pad,) per-second scores
     sampled_secs: jax.Array,         # (K,) int sampled frame seconds
     is_top: jax.Array,               # (K,) bool: frame in the top quartile
     n_valid: jax.Array,              # scalar int: true video length in seconds
     window_size: int = 5,
 ) -> jax.Array:
-    """Sequential windowed max-splat, bit-matching the reference loop."""
+    """Literal transcription of the reference loop: K sequential full-array
+    scatter-max updates.  Kept as the semantic oracle for ``window_splat``."""
     offsets = jnp.arange(-window_size, window_size + 1, dtype=jnp.int32)
     decay = 1.0 / (jnp.abs(offsets).astype(score_distribution.dtype) + 1.0)
     neg_inf = jnp.asarray(-jnp.inf, score_distribution.dtype)
@@ -81,3 +82,57 @@ def window_splat(
 
     k_total = sampled_secs.shape[0]
     return jax.lax.fori_loop(0, k_total, body, score_distribution)
+
+
+def window_splat(
+    score_distribution: jax.Array,   # (N_pad,) per-second scores
+    sampled_secs: jax.Array,         # (K,) int sampled frame seconds
+    is_top: jax.Array,               # (K,) bool: frame in the top quartile
+    n_valid: jax.Array,              # scalar int: true video length in seconds
+    window_size: int = 5,
+) -> jax.Array:
+    """Windowed max-splat, exactly equivalent to the reference's sequential
+    loop but TPU-fast.
+
+    Key observation: the only values the sequential loop ever READS back are
+    the sampled frames' own center scores — a top frame's splat can raise a
+    later top frame's center (when their seconds are within the window), and
+    that raised value then propagates.  So the order dependence reduces to a
+    K-step recurrence over the K center values
+
+        c_k = max(scores[sec_k], max_{j<k, top_j} c_j / (|sec_k - sec_j| + 1))
+
+    after which every contribution ``c_k / (|off|+1)`` max-merges into the
+    score array in ONE batched scatter (max is associative, so merge order
+    does not matter).  This replaces K dependent full-array updates with a
+    tiny K-step scalar recurrence + one scatter; equivalence to the literal
+    loop is tested in tests/test_ops.py.
+    """
+    dtype = score_distribution.dtype
+    k_total = sampled_secs.shape[0]
+    offsets = jnp.arange(-window_size, window_size + 1, dtype=jnp.int32)
+    decay = 1.0 / (jnp.abs(offsets).astype(dtype) + 1.0)
+
+    base_centers = score_distribution[sampled_secs]              # (K,)
+    dist = jnp.abs(sampled_secs[:, None] - sampled_secs[None, :])  # (K, K)
+    cross_decay = 1.0 / (dist.astype(dtype) + 1.0)
+    in_window = dist <= window_size
+
+    def body(k, centers):
+        # contributions from earlier top frames within the window
+        earlier = (jnp.arange(k_total) < k) & is_top & in_window[k]
+        raised = jnp.max(
+            jnp.where(earlier, centers * cross_decay[k], -jnp.inf)
+        )
+        c_k = jnp.maximum(centers[k], raised)
+        return centers.at[k].set(c_k)
+
+    centers = jax.lax.fori_loop(0, k_total, body, base_centers)
+
+    idxs = sampled_secs[:, None] + offsets[None, :]              # (K, W)
+    vals = centers[:, None] * decay[None, :]
+    ok = is_top[:, None] & (idxs >= 0) & (idxs < n_valid)
+    vals = jnp.where(ok, vals, -jnp.inf)
+    return score_distribution.at[idxs.reshape(-1)].max(
+        vals.reshape(-1), mode="drop"
+    )

@@ -60,6 +60,27 @@ def batched_search_step(
     return jax.tree_util.tree_map(select, stepped, states)
 
 
+def run_search_batched_chained(
+    states: SearchState,
+    scorer,
+    config: SearchConfig,
+    max_iterations: int,
+) -> Tuple[SearchState, jax.Array]:
+    """Host-dispatched chain of batched masked steps (see
+    engine.run_search_chained for why: per-iteration while-loop control costs
+    dominate on the tunneled TPU attachment).  Bit-identical results."""
+    step = jax.jit(batched_search_step, static_argnums=2)
+    for _ in range(max_iterations):
+        states = step(states, scorer, config)
+
+    def pop_one(state):
+        rng, key = jax.random.split(state.rng)
+        state = state.replace(rng=rng)
+        return state, pop_frame_secs(state, key, config)
+
+    return jax.jit(jax.vmap(pop_one))(states)
+
+
 def run_search_batched(
     states: SearchState,          # leading axis B on every leaf
     scorer,                       # per-video leaves batched on axis 0

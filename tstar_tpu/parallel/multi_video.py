@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tstar_tpu.parallel.batched import run_search_batched
+from tstar_tpu.parallel.batched import run_search_batched_chained
 from tstar_tpu.parallel.mesh import DATA_AXIS
 from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
 from tstar_tpu.search.state import init_state
@@ -103,8 +103,9 @@ def search_videos(
             class_weights=dp_put(batched_scorer.class_weights),
         )
 
-    finals, secs = jax.jit(run_search_batched, static_argnums=2)(
-        stacked, batched_scorer, config
+    max_iters = max(config.iteration_cap(c.n_valid) for c in caches)
+    finals, secs = run_search_batched_chained(
+        stacked, batched_scorer, config, max_iterations=max_iters
     )
     secs = np.asarray(secs)
     remaining = np.asarray(finals.remaining)

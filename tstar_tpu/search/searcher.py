@@ -117,9 +117,13 @@ class KeyframeSearcher:
 
     # -- search entry points ----------------------------------------------
     def search(self) -> Tuple[List[np.ndarray], List[float]]:
-        """Fully on-device search (lax.while_loop, no host round-trips)."""
-        final, secs = jax.jit(run_search, static_argnums=2)(
-            self._state0, self.scorer, self.config
+        """Full search: host-dispatched chain of jitted masked steps (no
+        intermediate syncs; bit-identical to the while_loop form)."""
+        from tstar_tpu.search.engine import run_search_chained
+
+        final, secs = run_search_chained(
+            self._state0, self.scorer, self.config,
+            max_iterations=self.config.iteration_cap(self.cache.n_valid),
         )
         self._final_state = jax.device_get(final)
         self._record_final_history()
