@@ -112,6 +112,35 @@ class TestEngineOracleEquivalence:
         )
         np.testing.assert_array_equal(secs, oracle.pop_secs)
 
+    @pytest.mark.parametrize("seed", [0, 1, 2, 3])
+    def test_fallback_branch_matches_oracle(self, seed):
+        # n_valid=20 with K=16: after iteration 0 only 4 seconds remain
+        # unvisited, so the quartile-masked sampler starves and the engine
+        # must take the fallback path (P + K/N without the non-visiting
+        # filter, interface_searcher.py:349-351) — which RESAMPLES visited
+        # seconds.  Oracle equivalence must hold through that branch.
+        cfg = dataclasses.replace(CFG, search_budget=2.5, budget_cap=48)
+        n_pad = cfg.padded_frames(20)
+        rng = np.random.default_rng(seed + 500)
+        conf = np.zeros(n_pad, np.float32)
+        conf[:20] = rng.random(20, dtype=np.float32) * 0.4
+        tables = OracleTables(
+            grid_conf=conf,
+            grid_presence=np.zeros((n_pad, cfg.max_objects), bool),  # never found
+            verify_conf=np.zeros(n_pad, np.float32),
+            verify_presence=np.zeros((n_pad, cfg.max_objects), bool),
+        )
+        final, secs, history, oracle = _run_both(
+            n_valid=20, n_targets=1, seed=seed, config=cfg, tables=tables
+        )
+        assert oracle.iterations == 3, "fallback branch never exercised"
+        for it, snap in enumerate(history):
+            np.testing.assert_array_equal(
+                np.sort(snap["secs"]), np.sort(oracle.sampled_history[it]),
+                err_msg=f"iteration {it}",
+            )
+        np.testing.assert_array_equal(secs, oracle.pop_secs)
+
     def test_chained_dispatch_matches_while_loop(self):
         from tstar_tpu.search.engine import run_search_chained
 
