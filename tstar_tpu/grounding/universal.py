@@ -47,9 +47,17 @@ class UniversalGrounder:
 
                 self.backend = OpenAIBackend(model=model_name, api_key=api_key)
             elif "qwen" in name or "llava" in name:
+                import os
+
+                path = model_path or model_name
+                if not os.path.isdir(path):
+                    raise ValueError(
+                        f"JAX VLM backends load from a LOCAL checkpoint "
+                        f"directory; pass model_path= (got {path!r})"
+                    )
                 from tstar_tpu.grounding.vlm_backend import JaxVLMBackend
 
-                self.backend = JaxVLMBackend(model_path or model_name)
+                self.backend = JaxVLMBackend(path)
             else:
                 raise ValueError(
                     "model_name must contain one of: 'gpt', 'qwen', 'llava', 'fake'"

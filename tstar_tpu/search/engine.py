@@ -30,6 +30,7 @@ identical; see ops/sampling.py).
 
 from __future__ import annotations
 
+import math
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -73,8 +74,6 @@ def sample_frame_secs(state: SearchState, key: jax.Array, config: SearchConfig) 
 
 def _percentile_static(x: jax.Array, q: float) -> jax.Array:
     """np.percentile('linear') over a fully-valid static-length vector."""
-    import math
-
     s = jnp.sort(x)
     pos = (x.shape[0] - 1) * (q / 100.0)
     lo = math.floor(pos)
