@@ -72,10 +72,14 @@ def main():
     iters = int(final.iteration)
     frames_scored = iters * cfg.frames_per_iteration
 
-    t0 = time.perf_counter()
-    final, secs = run_search_chained(state, scorer, cfg)
-    jax.block_until_ready((final.scores, secs))
-    ours_t = time.perf_counter() - t0
+    # best-of-3: the TPU attachment is a shared tunnel with large run-to-run
+    # variance; the minimum is the least-contended measurement.
+    ours_t = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        final, secs = run_search_chained(state, scorer, cfg)
+        jax.block_until_ready((final.scores, secs))
+        ours_t = min(ours_t, time.perf_counter() - t0)
     ours_fps = frames_scored / ours_t
 
     # --- reference-style baseline: same weights, same chip, host loop ---
@@ -94,16 +98,18 @@ def main():
     jax.block_until_ready(
         detector_forward(jnp.zeros((1, size, size, 3), jnp.bfloat16))
     )
-    base_frames, base_t = reference_style_search(
-        detector_forward,
-        cache_np,
-        n_valid,
-        np.asarray(scorer.class_weights),
-        n_targets=1,
-        config=cfg,
-        detector_size=size,
-    )
-    base_fps = base_frames / base_t
+    base_fps = 0.0
+    for _ in range(2):
+        base_frames, base_t = reference_style_search(
+            detector_forward,
+            cache_np,
+            n_valid,
+            np.asarray(scorer.class_weights),
+            n_targets=1,
+            config=cfg,
+            detector_size=size,
+        )
+        base_fps = max(base_fps, base_frames / base_t)
 
     print(json.dumps({
         "metric": "tstar_search_frames_scored_per_sec_per_chip",

@@ -8,3 +8,4 @@ from tstar_tpu.ops.splat import (  # noqa: F401
     window_splat,
 )
 from tstar_tpu.ops.smoother import smoothing_spline_distribution  # noqa: F401
+from tstar_tpu.ops.nms import batched_class_nms, box_iou, nms  # noqa: F401
