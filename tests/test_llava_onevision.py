@@ -120,6 +120,95 @@ class TestVideoPathParity:
         np.testing.assert_allclose(np.asarray(got), want, rtol=4e-4, atol=4e-4)
 
 
+class TestAnyResImagePath:
+    def test_matches_hf_get_image_features(self, torch_model):
+        params = convert_hf_llava_onevision_state_dict(torch_model.state_dict(), TINY)
+        model = LlavaOnevisionModel(TINY, dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        # pinpoints include [8,16]: image (8,16) -> base + 1x2 tile grid = 3
+        tiles = rng.standard_normal((3, 8, 8, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_model.model.get_image_features(
+                torch.tensor(tiles).permute(0, 3, 1, 2)[None],
+                image_sizes=torch.tensor([[8, 16]]),
+            )[0].numpy()
+        got = np.asarray(
+            model.apply(
+                params, jnp.asarray(tiles), (8, 16), (1, 2),
+                method=LlavaOnevisionModel.encode_anyres_image,
+            )
+        )
+        assert got.shape == want.shape, (got.shape, want.shape)
+        np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
+
+    def test_unpad_crops_rows_for_wide_images(self, torch_model):
+        # original (4, 16) is wider than the (8, 16) tile canvas: rows crop.
+        params = convert_hf_llava_onevision_state_dict(torch_model.state_dict(), TINY)
+        model = LlavaOnevisionModel(TINY, dtype=jnp.float32)
+        rng = np.random.default_rng(6)
+        tiles = rng.standard_normal((3, 8, 8, 3)).astype(np.float32)
+        with torch.no_grad():
+            want = torch_model.model.get_image_features(
+                torch.tensor(tiles).permute(0, 3, 1, 2)[None],
+                image_sizes=torch.tensor([[4, 16]]),
+            )[0].numpy()
+        got = np.asarray(
+            model.apply(
+                params, jnp.asarray(tiles), (4, 16), (1, 2),
+                method=LlavaOnevisionModel.encode_anyres_image,
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=4e-4, atol=4e-4)
+
+
+class TestAnyResProcessor:
+    def test_matches_hf_image_processor(self):
+        from transformers.models.llava_onevision.image_processing_llava_onevision import (
+            LlavaOnevisionImageProcessor,
+        )
+
+        from tstar_tpu.models.llava_onevision import preprocess_anyres_image
+
+        pinpoints = [[8, 8], [8, 16], [16, 8], [16, 16]]
+        proc = LlavaOnevisionImageProcessor(
+            size={"height": 8, "width": 8}, image_grid_pinpoints=pinpoints,
+            image_mean=[0.5] * 3, image_std=[0.5] * 3,
+        )
+        # smooth gradient: PIL-vs-cv2 resampler differences stay small
+        yy, xx = np.mgrid[0:10, 0:30]
+        img = np.stack([yy * 20, xx * 8, yy * 10 + xx * 4], -1).astype(np.uint8)
+        hf = proc(images=[img], return_tensors="np")
+        want = hf["pixel_values"][0]                    # (n_patches, 3, 8, 8)
+        got, image_size, grid = preprocess_anyres_image(img, TINY, pinpoints)
+        assert image_size == (10, 30)
+        assert got.shape[0] == want.shape[0] == 3
+        assert grid == (1, 2)  # best pinpoint for (10, 30) is (8, 16)
+        got_chw = got.transpose(0, 3, 1, 2)
+        assert np.abs(got_chw - want).mean() < 0.05
+        # (10, 30) into an (8, 16) canvas leaves padded rows top+bottom:
+        # padding must land identically (normalized zero-pixels match exactly)
+        np.testing.assert_allclose(got_chw[1:, :, 0], want[1:, :, 0], atol=1e-6)
+        np.testing.assert_allclose(got_chw[1:, :, 7], want[1:, :, 7], atol=1e-6)
+
+    def test_end_to_end_anyres_tokens(self, torch_model):
+        # processor -> encode_anyres_image runs end to end with sane shape
+        from tstar_tpu.models.llava_onevision import preprocess_anyres_image
+
+        params = convert_hf_llava_onevision_state_dict(torch_model.state_dict(), TINY)
+        model = LlavaOnevisionModel(TINY, dtype=jnp.float32)
+        rng = np.random.default_rng(8)
+        img = rng.integers(0, 256, (10, 21, 3), np.uint8)
+        tiles, image_size, grid = preprocess_anyres_image(
+            img, TINY, [[8, 8], [8, 16], [16, 8]]
+        )
+        out = model.apply(
+            params, jnp.asarray(tiles), image_size, grid,
+            method=LlavaOnevisionModel.encode_anyres_image,
+        )
+        assert out.ndim == 2 and out.shape[1] == 32
+        assert np.isfinite(np.asarray(out)).all()
+
+
 class TestGeneration:
     def test_greedy_matches_hf(self, torch_model):
         from tstar_tpu.models.generate import generate

@@ -119,6 +119,63 @@ class LlavaOnevisionModel(nn.Module):
         newline = self.image_newline.astype(flat.dtype)[None]
         return jnp.concatenate([flat, newline], axis=0)[None]
 
+    def encode_anyres_image(
+        self,
+        tiles: jax.Array,                 # (1 + n_tiles, S, S, 3): base FIRST
+        image_size: Tuple[int, int],      # original (H, W), static
+        grid_shape: Tuple[int, int],      # (num_patch_h, num_patch_w), static
+        max_num_patches: int = 9,         # "anyres_max_9"
+    ) -> jax.Array:
+        """AnyRes single-image path -> (num_tokens, hidden) feature stream.
+
+        Mirrors HF ``pack_image_features``: base features first, then the
+        tile grid reassembled spatially, unpadded to the original aspect,
+        downscaled if above the max-patches token budget, with an
+        ``image_newline`` appended to every row.
+        """
+        feats = self.vision(tiles, self.cfg.vision_feature_layer)
+        if self.cfg.vision_feature_select_strategy == "default":
+            feats = feats[:, 1:]
+        feats = self.proj_2(nn.gelu(self.proj_1(feats), approximate=False))
+        base = feats[0]                                   # (P, D)
+        side = self.cfg.vision.image_size // self.cfg.vision.patch_size
+        nph, npw = grid_shape
+        d = feats.shape[-1]
+        grid = feats[1:].reshape(nph, npw, side, side, d)
+        grid = grid.transpose(0, 2, 1, 3, 4).reshape(nph * side, npw * side, d)
+
+        # unpad to the original aspect ratio (HF unpad_image)
+        oh, ow = image_size
+        ch, cw = grid.shape[:2]
+        if ow / oh > cw / ch:
+            scale = cw / ow
+            new_h = int(oh * scale)
+            pad = (ch - new_h) // 2
+            grid = grid[pad : ch - pad]
+        else:
+            scale = ch / oh
+            new_w = int(ow * scale)
+            pad = (cw - new_w) // 2
+            grid = grid[:, pad : cw - pad]
+
+        # token budget: downscale if above max_num_patches base-tiles worth
+        import math as _math
+
+        ch, cw = grid.shape[:2]
+        ratio = _math.sqrt(ch * cw / (max_num_patches * side ** 2))
+        if ratio > 1.1:
+            grid = jax.image.resize(
+                grid.astype(jnp.float32)[None],
+                (1, int(ch // ratio), int(cw // ratio), d),
+                method="bilinear", antialias=False,
+            )[0].astype(feats.dtype)
+
+        newline = jnp.broadcast_to(
+            self.image_newline.astype(grid.dtype), (grid.shape[0], 1, d)
+        )
+        grid = jnp.concatenate([grid, newline], axis=1)   # newline per row
+        return jnp.concatenate([base, grid.reshape(-1, d)], axis=0)
+
     # -- LM (same contract as Qwen2VLModel) --------------------------------
     def embed(self, input_ids: jax.Array, image_embeds: Optional[jax.Array]) -> jax.Array:
         x = self.embed_tokens(input_ids)
@@ -190,6 +247,58 @@ def preprocess_frames_llava(frames, cfg: LlavaOnevisionConfig) -> np.ndarray:
         r = cv2.resize(np.asarray(f), (s, s), interpolation=cv2.INTER_CUBIC)
         out.append((r.astype(np.float32) / 255.0 - SIGLIP_MEAN) / SIGLIP_STD)
     return np.stack(out)
+
+
+def select_best_resolution(original_hw, possible_resolutions):
+    """Max effective resolution, min waste (HF select_best_resolution)."""
+    oh, ow = original_hw
+    best, best_eff, best_waste = None, 0, float("inf")
+    for h, w in possible_resolutions:
+        scale = min(w / ow, h / oh)
+        eff = min(int(ow * scale) * int(oh * scale), ow * oh)
+        waste = w * h - eff
+        if eff > best_eff or (eff == best_eff and waste < best_waste):
+            best, best_eff, best_waste = (h, w), eff, waste
+    return best
+
+
+def preprocess_anyres_image(
+    image: np.ndarray,                # (H, W, 3) uint8 RGB
+    cfg: LlavaOnevisionConfig,
+    grid_pinpoints,                   # [[h, w], ...]
+):
+    """Image -> AnyRes tiles for ``encode_anyres_image``.
+
+    Mirrors HF ``LlavaOnevisionImageProcessor.get_image_patches``: pick the
+    best pinpoint canvas, aspect-preserving resize + centered zero-pad, tile
+    into vision-size squares, and prepend the squashed full image as the base
+    tile.  Returns (tiles (1+n, S, S, 3) normalized f32, image_size (H, W),
+    grid_shape (nph, npw)).
+    """
+    import cv2
+
+    s = cfg.vision.image_size
+    oh, ow = image.shape[:2]
+    th, tw = select_best_resolution((oh, ow), grid_pinpoints)
+    # HF get_patch_output_size: the tighter axis hits the target exactly
+    if tw / ow < th / oh:
+        nw, nh = tw, min(int(np.ceil(oh * (tw / ow))), th)
+    else:
+        nh, nw = th, min(int(np.ceil(ow * (th / oh))), tw)
+    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_CUBIC)
+    canvas = np.zeros((th, tw, 3), image.dtype)
+    top, left = (th - nh) // 2, (tw - nw) // 2
+    canvas[top : top + nh, left : left + nw] = resized
+
+    def norm(img):
+        return (img.astype(np.float32) / 255.0 - SIGLIP_MEAN) / SIGLIP_STD
+
+    nph, npw = th // s, tw // s
+    tiles = [norm(cv2.resize(image, (s, s), interpolation=cv2.INTER_CUBIC))]  # base
+    for r in range(nph):
+        for c in range(npw):
+            tiles.append(norm(canvas[r * s : (r + 1) * s, c * s : (c + 1) * s]))
+    return np.stack(tiles), (oh, ow), (nph, npw)
 
 
 def prepare_llava_inputs(tokenizer, query: str, frames, cfg: LlavaOnevisionConfig):
