@@ -64,6 +64,34 @@ class TestSearchVideos:
             # keyframes stay inside each video's true duration despite padding
             assert max(r["keyframe_secs"]) < dur
 
+    def test_batched_dataset_runner(self, videos, tmp_path):
+        import json
+
+        from tstar_tpu.bench.runner import run_dataset_batched
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        dataset = [
+            {"video_id": f"v{i}", "video_path": p,
+             "question": "Where is the couch?", "options": "A) L\nB) R"}
+            for i, p in enumerate(videos)
+        ]
+        out = str(tmp_path / "batched.json")
+        results = run_dataset_batched(
+            dataset,
+            FakeGrounder(target_objects=["couch"], cue_objects=["tv"]),
+            _tiny_heuristic(),
+            out,
+            batch_videos=2,
+            search_budget=0.5,
+            confidence_threshold=0.6,
+        )
+        assert len(results) == 2
+        for r, dur in zip(results, [40, 70]):
+            assert len(r["keyframe_timestamps"]) == 8
+            assert len(r["keyframe_distribution"]) == int(dur)
+        saved = json.load(open(out))
+        assert len(saved) == 2
+
     def test_rejects_table_scorer_backends(self, videos):
         from tstar_tpu.framework.heuristics import initialize_heuristic
 

@@ -63,6 +63,95 @@ def search_one_item(
     }
 
 
+def run_dataset_batched(
+    dataset: List[Dict[str, Any]],
+    grounder,
+    heuristic,
+    output_json: str,
+    batch_videos: int = 4,
+    search_nframes: int = 8,
+    grid_rows: int = 4,
+    grid_cols: int = 4,
+    confidence_threshold: float = 0.7,
+    search_budget: float = 1.0,
+    seed: int = 0,
+    **_ignored,
+) -> List[Dict[str, Any]]:
+    """Batched variant: grounding runs serially (VLM/API-bound), searches run
+    ``batch_videos`` at a time in one on-device loop (parallel/multi_video).
+
+    The detector backend must produce OwlVitScorer-shaped scorers.
+    """
+    import dataclasses as _dc
+
+    from tstar_tpu.parallel.multi_video import VideoTask, search_videos
+    from tstar_tpu.utils.config import SearchConfig
+
+    config = _dc.replace(
+        SearchConfig(),
+        search_nframes=search_nframes,
+        grid_rows=grid_rows,
+        grid_cols=grid_cols,
+        confidence_threshold=confidence_threshold,
+        search_budget=search_budget,
+    )
+
+    if not hasattr(heuristic, "build_scorer") or not hasattr(heuristic, "model"):
+        raise TypeError(
+            f"--batch_videos needs a detector backend with shared weights "
+            f"(OwlVitScorer-shaped); {getattr(heuristic, 'name', heuristic)!r} "
+            f"is not supported — use the serial runner"
+        )
+
+    # stage 1: serial grounding (network / VLM bound) + video probing
+    tasks, rows = [], []
+    for idx, item in enumerate(dataset):
+        row = dict(item)
+        try:
+            from tstar_tpu.video.decoder import open_video
+
+            open_video(item["video_path"]).close()   # fail fast per item
+            targets, cues = grounder.inference_query_grounding(
+                video_path=item["video_path"],
+                question=item["question"],
+                options=item.get("options", ""),
+            )
+            row["grounding_objects"] = {
+                "target_objects": targets, "cue_objects": cues
+            }
+            tasks.append(
+                VideoTask(item["video_path"], targets, cues, seed=seed + idx)
+            )
+            row["error"] = None
+        except Exception as e:  # noqa: BLE001
+            logger.error("grounding failed for %s: %s", item.get("video_id"), e)
+            row["error"] = f"{type(e).__name__}: {e}"
+            tasks.append(None)
+        rows.append(row)
+
+    # stage 2: batched searches
+    live = [(i, t) for i, t in enumerate(tasks) if t is not None]
+    for start in range(0, len(live), batch_videos):
+        chunk = live[start : start + batch_videos]
+        try:
+            outs = search_videos([t for _, t in chunk], heuristic, config)
+        except Exception as e:  # noqa: BLE001
+            logger.error("batched search failed: %s", e)
+            for i, _ in chunk:
+                rows[i]["error"] = f"{type(e).__name__}: {e}"
+            continue
+        for (i, _), out in zip(chunk, outs):
+            rows[i]["keyframe_timestamps"] = out["keyframe_timestamps"]
+            rows[i]["keyframe_distribution"] = out["keyframe_distribution"]
+
+    results = [r for r in rows if r.get("error") is None]
+    os.makedirs(os.path.dirname(output_json) or ".", exist_ok=True)
+    with open(output_json, "w", encoding="utf-8") as f:
+        json.dump(results, f, indent=4, ensure_ascii=False)
+    logger.info("batched processing completed; results saved to %s", output_json)
+    return results
+
+
 def run_dataset(
     dataset: List[Dict[str, Any]],
     grounder,

@@ -31,6 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--search_budget", type=float, default=1.0)
     p.add_argument("--output_dir", type=str, default="./results/frame_search")
     p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--batch_videos", type=int, default=0,
+                   help=">0: search N videos concurrently in one on-device "
+                        "batched loop (detector backends only)")
     return p
 
 
@@ -58,16 +61,27 @@ def main(argv=None):
     output_json = os.path.join(
         args.output_dir, f"{args.heuristic}_{args.output_json_name}"
     )
-    results = run_dataset(
-        dataset, grounder, heuristic, output_json,
-        resume=not args.no_resume,
+    common = dict(
         search_nframes=args.search_nframes,
         grid_rows=args.grid_rows,
         grid_cols=args.grid_cols,
         confidence_threshold=args.confidence_threshold,
         search_budget=args.search_budget,
-        output_dir=args.output_dir,
     )
+    if args.batch_videos > 0:
+        from tstar_tpu.bench.runner import run_dataset_batched
+
+        results = run_dataset_batched(
+            dataset, grounder, heuristic, output_json,
+            batch_videos=args.batch_videos, **common,
+        )
+    else:
+        results = run_dataset(
+            dataset, grounder, heuristic, output_json,
+            resume=not args.no_resume,
+            output_dir=args.output_dir,
+            **common,
+        )
     print(f"Batch processing completed. {len(results)} results -> {output_json}")
     return results
 

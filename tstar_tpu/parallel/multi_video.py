@@ -110,9 +110,10 @@ def search_videos(
     secs = np.asarray(secs)
     remaining = np.asarray(finals.remaining)
     iterations = np.asarray(finals.iteration)
+    final_p = np.asarray(finals.P)
 
     results = []
-    for i, task in enumerate(tasks):
+    for i, (task, cache) in enumerate(zip(tasks, caches)):
         ts = sorted(float(s) / config.sampling_fps for s in secs[i])
         left = [
             t for j, t in enumerate(task.target_objects) if remaining[i, j]
@@ -122,6 +123,7 @@ def search_videos(
                 "video_path": task.video_path,
                 "keyframe_timestamps": ts,
                 "keyframe_secs": secs[i].tolist(),
+                "keyframe_distribution": final_p[i, : cache.n_valid].tolist(),
                 "remaining_targets": left,
                 "iterations": int(iterations[i]),
             }
