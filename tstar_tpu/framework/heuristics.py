@@ -107,6 +107,15 @@ class _DetectorCompatMixin:
         self.detections_inbatch = out
         return out
 
+    def inference(self, image_path: str, score_threshold: float = 0.3, **kw):
+        """Path-based single-image detection (interface_heuristic.py:217-230)."""
+        from PIL import Image
+        import numpy as np
+
+        with Image.open(image_path) as im:
+            image = np.asarray(im.convert("RGB"))
+        return self.inference_detector([image], score_threshold=score_threshold)[0]
+
     def bbox_visualization(self, images, detections_inbatch):
         """Annotated copies of the images (interface_heuristic.py:259-267)."""
         from tstar_tpu.viz.boxes import draw_boxes
