@@ -54,7 +54,14 @@ def evaluate_search_results(
     ``max_workers`` threads with results keyed by item INDEX — the reference
     appends in thread-completion order, which misaligns its gt/pred lists
     when early videos fail (val_tstar_results.py:309-348).
+
+    ``fps`` is accepted for CLI parity but IGNORED: the reference converts
+    predicted timestamps to raw frame indices with its --fps flag (default
+    1.0, val_tstar_results.py:316,395), which decodes the wrong frames for
+    SSIM unless the caller passes each video's true rate; here the probed
+    per-video fps is always used instead.
     """
+    del fps
     from concurrent.futures import ThreadPoolExecutor
 
     def one(idx_item):

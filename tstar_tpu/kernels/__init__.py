@@ -7,3 +7,4 @@ from tstar_tpu.kernels.image import (  # noqa: F401
     normalize_clip,
     pack_grid,
 )
+from tstar_tpu.kernels.pallas_grid import build_detector_grid_pallas  # noqa: F401
