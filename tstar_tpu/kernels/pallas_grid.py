@@ -52,12 +52,13 @@ def _norm_vectors(w_out: int) -> Tuple[np.ndarray, np.ndarray]:
     )
 
 
-def _make_grid_kernel(cols: int):
+def _make_grid_kernel(cols: int, height_identity: bool):
     def kernel(secs_ref, cache_ref, ah_ref, awk_ref, scale_ref, bias_ref,
                out_ref, frame_vmem, sem):
         # One program per grid ROW (lane-aligned output blocks); the row's
         # frames stream through double-buffered DMAs overlapped with the
-        # resize matmuls of the previous cell.
+        # resize matmuls of the previous cell.  With the default cache the
+        # height interpolation is an exact identity and is skipped.
         r = pl.program_id(0)
 
         def dma_for(c, slot):
@@ -74,8 +75,9 @@ def _make_grid_kernel(cols: int):
             dma_for(c, c % 2).wait()
             # Mosaic has no direct uint8->f32 cast; hop through int32.
             x = frame_vmem[c % 2].astype(jnp.int32).astype(jnp.float32)
-            h = jnp.dot(ah_ref[:], x, preferred_element_type=jnp.float32)
-            y = jnp.dot(h, awk_ref[:], preferred_element_type=jnp.float32)
+            if not height_identity:
+                x = jnp.dot(ah_ref[:], x, preferred_element_type=jnp.float32)
+            y = jnp.dot(x, awk_ref[:], preferred_element_type=jnp.float32)
             cells.append(y * scale_ref[:] + bias_ref[:])
         out_ref[:] = jnp.concatenate(cells, axis=-1).astype(out_ref.dtype)
 
@@ -126,8 +128,11 @@ def build_detector_grid_pallas(
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
+    height_identity = bool(
+        np.allclose(_interp_matrix(ch, cell_h), np.eye(cell_h), atol=1e-6)
+    ) if ch == cell_h else False
     out = pl.pallas_call(
-        _make_grid_kernel(cols),
+        _make_grid_kernel(cols, height_identity),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((rows * cell_h, cols * cell_w * 3), dtype),
         interpret=interpret,
