@@ -92,6 +92,36 @@ class TestSearchVideos:
         saved = json.load(open(out))
         assert len(saved) == 2
 
+    def test_batched_runner_rejects_table_backends(self, videos, tmp_path):
+        from tstar_tpu.bench.runner import run_dataset_batched
+        from tstar_tpu.framework.heuristics import initialize_heuristic
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        with pytest.raises(TypeError, match="detector backend"):
+            run_dataset_batched(
+                [{"video_id": "v", "video_path": videos[0], "question": "q",
+                  "options": ""}],
+                FakeGrounder(), initialize_heuristic("color-probe"),
+                str(tmp_path / "x.json"), batch_videos=1,
+            )
+
+    def test_batched_runner_drops_missing_video_only(self, videos, tmp_path):
+        from tstar_tpu.bench.runner import run_dataset_batched
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        dataset = [
+            {"video_id": "good", "video_path": videos[0],
+             "question": "q", "options": ""},
+            {"video_id": "gone", "video_path": "/nonexistent.mp4",
+             "question": "q", "options": ""},
+        ]
+        res = run_dataset_batched(
+            dataset, FakeGrounder(target_objects=["couch"], cue_objects=["tv"]),
+            _tiny_heuristic(), str(tmp_path / "y.json"),
+            batch_videos=2, search_budget=0.5, confidence_threshold=0.6,
+        )
+        assert len(res) == 1 and res[0]["video_id"] == "good"
+
     def test_rejects_table_scorer_backends(self, videos):
         from tstar_tpu.framework.heuristics import initialize_heuristic
 
