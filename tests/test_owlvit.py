@@ -172,6 +172,51 @@ class TestPostprocess:
         )
 
 
+class TestOwlv2:
+    def test_owlv2_checkpoint_parity(self):
+        # OWLv2 shares the architecture (prefix owlv2., extra objectness
+        # head unused by the T* scoring path); converter auto-detects.
+        hf_cfg = transformers.Owlv2Config(
+            text_config=dict(
+                vocab_size=100, hidden_size=24, num_hidden_layers=2,
+                num_attention_heads=4, intermediate_size=48,
+                max_position_embeddings=8,
+            ),
+            vision_config=dict(
+                hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+                intermediate_size=64, patch_size=16, image_size=64,
+            ),
+            projection_dim=24,
+        )
+        torch.manual_seed(1)
+        tm = transformers.Owlv2ForObjectDetection(hf_cfg)
+        tm.eval()
+        rng = np.random.default_rng(3)
+        pixels = rng.standard_normal((1, 64, 64, 3)).astype(np.float32)
+        ids = rng.integers(1, 90, size=(2, 8)).astype(np.int64)
+        ids[:, 0] = 49
+        ids[:, 5] = 99
+        ids[:, 6:] = 0
+        mask = (ids > 0).astype(np.int64)
+        with torch.no_grad():
+            out = tm(
+                input_ids=torch.tensor(ids),
+                pixel_values=torch.tensor(pixels).permute(0, 3, 1, 2),
+                attention_mask=torch.tensor(mask),
+            )
+        params = convert_hf_owlvit_state_dict(tm.state_dict(), TINY)
+        model = OwlViTDetector(TINY, dtype=jnp.float32)
+        logits, boxes = model.apply(
+            params, jnp.asarray(pixels), jnp.asarray(ids), jnp.asarray(mask)
+        )
+        np.testing.assert_allclose(
+            np.asarray(logits), out.logits.numpy(), rtol=2e-4, atol=2e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(boxes), out.pred_boxes.numpy(), rtol=2e-4, atol=2e-4
+        )
+
+
 class TestBF16:
     def test_bf16_forward_close_to_f32(self, torch_model, inputs):
         pixels, ids, mask = inputs

@@ -250,7 +250,9 @@ def initialize_heuristic(
 ) -> HeuristicBackend:
     """String dispatch, extending TStarFramework.py:171-187."""
     name = heuristic_type.lower()
-    if name == "owl-vit":
+    if name in ("owl-vit", "owlv2", "owl-v2"):
+        # OWLv2 checkpoints load through the same backend (models/owlvit.py
+        # converter auto-detects the owlv2. prefix).
         return OwlVitHeuristic(checkpoint_dir=kwargs.get("checkpoint_dir"))
     if name == "owl-vit-random":
         return OwlVitHeuristic(checkpoint_dir=None, seed=kwargs.get("seed", 0))

@@ -304,12 +304,16 @@ def _t(x) -> np.ndarray:
 
 
 def convert_hf_owlvit_state_dict(sd: Dict[str, Any], cfg: OwlViTConfig) -> Dict:
-    """Convert an HF ``OwlViTForObjectDetection`` state dict to our params.
+    """Convert an HF OwlViT/Owlv2 ``ForObjectDetection`` state dict to params.
 
     Accepts torch tensors or numpy arrays.  Layout notes: torch Linear weights
     are (out, in) -> flax kernels (in, out); the patch conv is (D, 3, k, k) ->
-    (k, k, 3, D).
+    (k, k, 3, D).  OWLv2 checkpoints (prefix ``owlv2.``) share the
+    architecture; their extra objectness head is not used by the T* scoring
+    path (the reference post-process consumes class logits only,
+    interface_heuristic.py:242-243) and is skipped.
     """
+    base = "owlv2" if any(k.startswith("owlv2.") for k in sd) else "owlvit"
 
     def linear(prefix):
         return {
@@ -340,8 +344,8 @@ def convert_hf_owlvit_state_dict(sd: Dict[str, Any], cfg: OwlViTConfig) -> Dict:
             }
         return out
 
-    v = "owlvit.vision_model"
-    t = "owlvit.text_model"
+    v = f"{base}.vision_model"
+    t = f"{base}.text_model"
     params = {
         "vision": {
             "patch_embedding": {
@@ -358,7 +362,7 @@ def convert_hf_owlvit_state_dict(sd: Dict[str, Any], cfg: OwlViTConfig) -> Dict:
             "encoder": encoder(f"{t}.encoder", cfg.text.num_layers),
             "final_layer_norm": layernorm(f"{t}.final_layer_norm"),
         },
-        "text_projection": {"kernel": _t(sd["owlvit.text_projection.weight"]).T},
+        "text_projection": {"kernel": _t(sd[f"{base}.text_projection.weight"]).T},
         "post_layernorm": layernorm(f"{v}.post_layernorm"),
         "merged_layernorm": layernorm("layer_norm"),
         "box_head": {
