@@ -98,18 +98,16 @@ def main():
     jax.block_until_ready(
         detector_forward(jnp.zeros((1, size, size, 3), jnp.bfloat16))
     )
-    base_fps = 0.0
-    for _ in range(2):
-        base_frames, base_t = reference_style_search(
-            detector_forward,
-            cache_np,
-            n_valid,
-            np.asarray(scorer.class_weights),
-            n_targets=1,
-            config=cfg,
-            detector_size=size,
-        )
-        base_fps = max(base_fps, base_frames / base_t)
+    base_frames, base_t = reference_style_search(
+        detector_forward,
+        cache_np,
+        n_valid,
+        np.asarray(scorer.class_weights),
+        n_targets=1,
+        config=cfg,
+        detector_size=size,
+    )
+    base_fps = base_frames / base_t
 
     print(json.dumps({
         "metric": "tstar_search_frames_scored_per_sec_per_chip",
