@@ -24,4 +24,20 @@ def __getattr__(name):
         from tstar_tpu.framework import framework as _fw
 
         return getattr(_fw, name)
+    if name in ("KeyframeSearcher", "TStarSearcher"):
+        from tstar_tpu.search import searcher as _s
+
+        return getattr(_s, name)
+    if name in ("search_videos", "VideoTask"):
+        from tstar_tpu.parallel import multi_video as _mv
+
+        return getattr(_mv, name)
+    if name in ("UniversalGrounder", "TStarUniversalGrounder"):
+        from tstar_tpu.grounding import universal as _g
+
+        return getattr(_g, name)
+    if name == "initialize_heuristic":
+        from tstar_tpu.framework.heuristics import initialize_heuristic
+
+        return initialize_heuristic
     raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
