@@ -109,6 +109,23 @@ class TestFrameCache:
         bg = second_intensity(13)
         assert abs(float(arr[13, :10, :10].mean()) - bg) < 6
 
+    def test_hbm_budget_downscales_cache(self, video):
+        from tstar_tpu.video.cache import fit_cache_hw
+
+        # 4 hours at 192x384 ~ 3.2 GB; a 1 GB budget must shrink it.
+        hw = fit_cache_hw((192, 384), 14464, 1 * 1024 ** 3)
+        assert hw != (192, 384)
+        assert hw[0] % 32 == 0 and hw[1] % 128 == 0
+        assert 14464 * hw[0] * hw[1] * 3 <= 1 * 1024 ** 3
+        # short videos keep the full resolution
+        assert fit_cache_hw((192, 384), 1024, 6 * 1024 ** 3) == (192, 384)
+
+        path, _ = video
+        cfg = SearchConfig(cache_hw=(64, 128), grid_rows=4, grid_cols=4)
+        cache = build_frame_cache(path, cfg, hbm_budget_bytes=40 * 48 * 80 * 3)
+        assert cache.frames.shape[1] < 64 or cache.frames.shape[2] < 128 \
+            or cache.frames.shape[1:3] == (32, 128)
+
     def test_too_short_video_raises(self, tmp_path):
         path = str(tmp_path / "short.mp4")
         write_synthetic_video(path, duration_sec=5.0, fps=10.0, hw=(48, 64))
@@ -120,3 +137,22 @@ class TestOpenVideo:
     def test_missing_file_raises(self):
         with pytest.raises(ValueError):
             open_video("/nonexistent/video.mp4")
+
+    def test_corrupt_and_empty_files_raise(self, tmp_path):
+        import os
+
+        garbage = tmp_path / "garbage.mp4"
+        garbage.write_bytes(os.urandom(4096))
+        with pytest.raises(ValueError, match="Cannot open"):
+            open_video(str(garbage))
+        empty = tmp_path / "empty.mp4"
+        empty.write_bytes(b"")
+        with pytest.raises(ValueError, match="Cannot open"):
+            open_video(str(empty))
+
+    def test_truncated_container_raises(self, tmp_path, video):
+        path, _ = video
+        trunc = tmp_path / "trunc.mp4"
+        trunc.write_bytes(open(path, "rb").read()[:1024])
+        with pytest.raises(ValueError, match="Cannot open"):
+            open_video(str(trunc))

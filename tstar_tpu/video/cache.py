@@ -35,17 +35,44 @@ class FrameCache:
         return self.frames.shape[0]
 
 
+def fit_cache_hw(
+    cache_hw: tuple, n_pad: int, hbm_budget_bytes: int
+) -> tuple:
+    """Shrink the cache resolution (keeping DMA alignment: h % 32 == 0,
+    w % 128 == 0) until the cache fits the HBM budget.
+
+    Long videos would otherwise exhaust device memory (a 4-hour video at the
+    default 192x384 is ~3.2 GB); lower cache resolution costs some detector
+    fidelity but keeps everything device-resident.
+    """
+    h, w = cache_hw
+    while n_pad * h * w * 3 > hbm_budget_bytes and (h > 32 or w > 128):
+        if h >= 64:
+            h -= 32
+        elif w > 128:
+            w -= 128
+        else:
+            break
+    return (h, w)
+
+
 def build_frame_cache(
     video_path: str,
     config: SearchConfig,
     device: Optional[jax.Device] = None,
     decoder=None,
+    hbm_budget_bytes: int = 6 * 1024 ** 3,
 ) -> FrameCache:
     """Probe + sweep-decode a video into a padded device-resident cache.
 
     Mirrors the reference's video property probe (interface_searcher.py:60-68:
-    duration = frame_count / fps, N = int(duration * sampling_fps)).
+    duration = frame_count / fps, N = int(duration * sampling_fps)).  The
+    cache resolution automatically steps down for very long videos so the
+    cache stays within ``hbm_budget_bytes`` (logged when it happens).
     """
+    import logging
+
+    logger = logging.getLogger(__name__)
     own = decoder is None
     dec = decoder or open_video(video_path)
     try:
@@ -61,9 +88,17 @@ def build_frame_cache(
                 f"(the reference crashes here too; use a smaller grid)"
             )
         n_pad = config.padded_frames(n_valid)
+        cache_hw = fit_cache_hw(config.cache_hw, n_pad, hbm_budget_bytes)
+        if cache_hw != tuple(config.cache_hw):
+            logger.warning(
+                "frame cache downscaled %s -> %s to fit the %.1f GB HBM "
+                "budget (%d seconds of video)",
+                tuple(config.cache_hw), cache_hw,
+                hbm_budget_bytes / 1024 ** 3, n_valid,
+            )
         period = 1.0 / config.sampling_fps
-        frames = dec.decode_sweep(period, n_valid, out_hw=config.cache_hw)
-        padded = np.zeros((n_pad, *config.cache_hw, 3), np.uint8)
+        frames = dec.decode_sweep(period, n_valid, out_hw=cache_hw)
+        padded = np.zeros((n_pad, *cache_hw, 3), np.uint8)
         padded[:n_valid] = frames
         arr = jax.device_put(padded, device)
         return FrameCache(
