@@ -108,6 +108,29 @@ class TestFrameworkRun:
         frames_dir = os.path.join(run_dir, "frames")
         assert len(os.listdir(frames_dir)) == 8
 
+    def test_int_budget_maps_to_full_cap(self, scene, tmp_path):
+        # Reference semantics (interface_searcher.py:70): effective budget =
+        # min(1000, N * search_budget).  The framework's int default 1000 on a
+        # 120 s video must yield the full 1000-frame cap (resampling visited
+        # seconds), NOT min(1000, N) = 120.
+        path, _ = scene
+        fw = TStarFramework(
+            video_path=path,
+            heuristic=initialize_heuristic("color-probe"),
+            grounder=FakeGrounder(target_objects=["couch"], cue_objects=["tv"]),
+            question="q?",
+            options="A) x",
+            output_dir=str(tmp_path / "budget"),
+            search_budget=1000,
+        )
+        searcher = fw.initialize_videoSearcher(["couch"], ["tv"])
+        n = searcher.total_frame_num
+        assert searcher.config.budget_frames(n) == 1000
+        # and a small int budget behaves like min(1000, N * budget)
+        fw.search_budget = 2
+        searcher2 = fw.initialize_videoSearcher(["couch"], ["tv"])
+        assert searcher2.config.budget_frames(n) == min(1000, 2 * n)
+
     def test_run_tstar_one_shot(self, scene, tmp_path):
         path, _ = scene
         results = run_tstar(

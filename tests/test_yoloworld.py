@@ -96,5 +96,19 @@ class TestFullSearchWithYolo:
 
 class TestRegistry:
     def test_initialize_heuristic_dispatch(self):
-        h = initialize_heuristic("yolo-world", size="small")
+        h = initialize_heuristic("yolo-world-random", size="small")
         assert h.name == "yolo-world"
+
+    def test_weightless_yolo_world_raises(self):
+        # Reference always loads a checkpoint (TStarFramework.py:180-185);
+        # random weights must be an explicit opt-in.
+        import pytest
+
+        with pytest.raises(ValueError, match="yolo-world-random"):
+            initialize_heuristic("yolo-world", size="small")
+
+    def test_weightless_owl_vit_raises(self):
+        import pytest
+
+        with pytest.raises(ValueError, match="owl-vit-random"):
+            initialize_heuristic("owl-vit")

@@ -95,18 +95,19 @@ class TStarFramework:
     def initialize_videoSearcher(
         self, target_objects: Sequence[str], cue_objects: Sequence[str]
     ) -> KeyframeSearcher:
-        # Budget semantics: the reference passes either an int cap (1000) or
-        # a fraction; interpretation is min(cap, N * fraction)
-        # (interface_searcher.py:70).  Values > 1 act as the cap.
-        budget = self.search_budget
-        if budget > 1:
-            cfg_budget, cap = 1.0, int(budget)
-        else:
-            cfg_budget, cap = float(budget), 1000
+        # Budget semantics (interface_searcher.py:70): the searcher always
+        # computes min(1000, N * search_budget), whether search_budget is a
+        # fraction (0.5) or the framework's int default (1000, which makes the
+        # effective budget the full 1000-frame cap for any N >= 1).  The value
+        # is passed through verbatim — budget_frames() applies the same
+        # min(cap, N * budget) formula, so short videos still get the full cap
+        # when budget is large (the sampler resamples visited seconds via the
+        # starved-quartile fallback, matching the reference).
+        cfg_budget = float(self.search_budget)
         base = self.config or SearchConfig()
         import dataclasses
 
-        cfg = dataclasses.replace(base, search_budget=cfg_budget, budget_cap=cap)
+        cfg = dataclasses.replace(base, search_budget=cfg_budget)
         return KeyframeSearcher(
             video_path=self.video_path,
             heuristic=self.heuristic,

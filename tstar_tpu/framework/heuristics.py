@@ -16,9 +16,14 @@ Backends:
                          region matching; the hermetic end-to-end backend for
                          synthetic fixture videos (plays the role the fake
                          LlavaInterface plays for the reference's grounder).
-  * ``yolo-world``     — text-conditioned YOLO-class detector (planned;
-                         raises NotImplementedError like the reference's
-                         unknown-backend branch).
+  * ``yolo-world``     — text-conditioned YOLO-class detector from a
+                         checkpoint (mmdet/mmyolo .pth via the converter in
+                         models/yolo_loader.py, or a native Flax checkpoint).
+  * ``yolo-world-random`` — same architecture, random weights.
+
+``owl-vit`` / ``yolo-world`` WITHOUT a checkpoint_dir raise ValueError: the
+reference always loads real weights (TStarFramework.py:175-185), so running
+random weights must be an explicit opt-in via the ``-random`` names.
 """
 
 from __future__ import annotations
@@ -253,14 +258,42 @@ def initialize_heuristic(
     if name in ("owl-vit", "owlv2", "owl-v2"):
         # OWLv2 checkpoints load through the same backend (models/owlvit.py
         # converter auto-detects the owlv2. prefix).
-        return OwlVitHeuristic(checkpoint_dir=kwargs.get("checkpoint_dir"))
+        ckpt = kwargs.get("checkpoint_dir")
+        if not ckpt:
+            # The reference always loads real weights here
+            # (TStarFramework.py:175-179, from_pretrained); silently running
+            # random weights would return garbage keyframes with no error.
+            raise ValueError(
+                "initialize_heuristic('owl-vit') requires checkpoint_dir= "
+                "(a local HF OWL-ViT checkpoint directory). For benchmarks/"
+                "smoke tests that don't need real weights, ask explicitly "
+                "for initialize_heuristic('owl-vit-random')."
+            )
+        return OwlVitHeuristic(checkpoint_dir=ckpt)
     if name == "owl-vit-random":
         return OwlVitHeuristic(checkpoint_dir=None, seed=kwargs.get("seed", 0))
     if name in ("color-probe", "fake"):
         return ColorProbeHeuristic(color_map=kwargs.get("color_map"))
-    if name in ("yolo-world", "yolo-world-v2", "yolo-world-random"):
+    if name in ("yolo-world", "yolo-world-v2"):
+        ckpt = kwargs.get("checkpoint_dir")
+        if not ckpt:
+            # Same loud-failure contract as owl-vit: the reference's
+            # yolo-World branch always loads a checkpoint
+            # (TStarFramework.py:180-185, init_detector(cfg, ckpt)).
+            raise ValueError(
+                "initialize_heuristic('yolo-world') requires checkpoint_dir= "
+                "(an mmdet/mmyolo YOLO-World .pth or a native Flax "
+                "checkpoint directory). For random-weight runs ask "
+                "explicitly for initialize_heuristic('yolo-world-random')."
+            )
         return YoloWorldHeuristic(
-            checkpoint_dir=kwargs.get("checkpoint_dir"),
+            checkpoint_dir=ckpt,
+            size=kwargs.get("size", "xl"),
+            seed=kwargs.get("seed", 0),
+        )
+    if name == "yolo-world-random":
+        return YoloWorldHeuristic(
+            checkpoint_dir=None,
             size=kwargs.get("size", "xl"),
             seed=kwargs.get("seed", 0),
         )

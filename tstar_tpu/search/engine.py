@@ -14,7 +14,7 @@ Semantics preserved exactly (tested against a NumPy oracle seed-for-seed in
     not-enough-nonzero fallback (``:339-358``);
   * direct score writes, then the order-dependent windowed max-splat over the
     top quartile of this batch (``:308-313``);
-  * smoother -> sigmoid -> 1/N floor -> normalize (``:314-318``);
+  * smoother -> 1/N floor -> sigmoid -> normalize (``:314-318``);
   * verification AFTER the distribution update: rescore triggered frames,
     overwrite their scores, and remove at most one target per frame — the
     first remaining target (in slot order) that passes (``:399-419``);

@@ -8,6 +8,14 @@ timestamps), introspection state (``P``, ``score_distribution``,
 ``non_visiting_frames``, ``P_history``, ``Score_history``,
 ``non_visiting_history``), and ``plot_score_distribution()``.
 
+NOTE on defaults: this class keeps the *framework-level* defaults
+(grid (4,4), budget 0.5, confidence 0.6 — ``TStarFramework.py:33-38``,
+``run_tstar`` ``:194-201``).  The reference ``TStarSearcher`` constructor
+itself defaults to grid (8,8), budget 0.1, confidence 0.5
+(``interface_searcher.py:21-40``) but is never instantiated with those
+defaults by any first-party caller; code ported from the reference that
+relies on the bare-constructor defaults must pass them explicitly.
+
 Under the hood: one decode sweep fills the device frame cache, the heuristic
 backend builds a jittable scorer, and the whole search runs on-device
 (``search()``) or host-stepped for history capture
