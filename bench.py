@@ -2,12 +2,20 @@
 
 Prints ONE JSON line:
     {"metric": "tstar_search_frames_scored_per_sec_per_chip",
-     "value": <ours>, "unit": "frames/sec", "vs_baseline": <ours / reference-style>}
+     "value": <ours, batched>, "unit": "frames/sec",
+     "vs_baseline": <ours / reference-style>, "extra": {...}}
 
 Metric: detector-scored frames per second during a budget-exhausting T*
 search (the BASELINE.json north-star rate), full-size OWL-ViT base-patch32
-(bf16, random weights — weight values don't affect throughput) over a
-1024-second video's frame cache.
+(bf16, random weights — weight values don't affect throughput).  The
+headline value is the BATCHED multi-video engine (parallel/batched.py) at
+the largest measured batch — the production configuration that replaces the
+reference's serial per-video loop (run_TStar_onDataset.py:195-205).
+
+extra carries the full picture: per-batch-size frames/s/chip (B=1/4/8),
+MFU at the best batch (flops from the compiled step's cost_analysis over
+the detected chip's peak bf16), and the Pallas-vs-XLA preprocess delta at
+B=1.
 
 Baseline: the SAME weights on the SAME chip driven by the reference's
 runtime architecture (per-iteration host round-trips + host cv2/scipy state
@@ -16,10 +24,30 @@ BOTH sides; the reference additionally re-decodes every iteration, so the
 end-to-end gap on real videos is strictly larger than reported here.
 """
 
+import dataclasses
 import json
 import time
 
 import numpy as np
+
+# Peak bf16 FLOP/s per chip by device_kind substring (public TPU specs).
+PEAK_BF16 = {
+    "v4": 275e12,
+    "v5 lite": 197e12,
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v5": 459e12,
+    "v6 lite": 918e12,
+    "v6e": 918e12,
+}
+
+
+def _peak_flops(device_kind: str):
+    dk = device_kind.lower()
+    for key in ("v6 lite", "v6e", "v5 lite", "v5e", "v5p", "v4", "v5"):
+        if key in dk:
+            return PEAK_BF16[key]
+    return None
 
 
 def main():
@@ -27,20 +55,29 @@ def main():
     import jax.numpy as jnp
 
     from tstar_tpu.models.clip_tokenizer import HashTokenizer
-    from tstar_tpu.models.owlvit import OwlViTDetector, owlvit_base_patch32
-    from tstar_tpu.search.detector_scorer import make_owlvit_scorer
-    from tstar_tpu.search.engine import run_search
+    from tstar_tpu.models.owlvit import (
+        OwlViTDetector,
+        owlvit_base_patch32,
+        postprocess_detections,
+    )
+    from tstar_tpu.parallel.batched import (
+        batched_search_step,
+        run_search_batched_chained,
+    )
+    from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
+    from tstar_tpu.search.engine import run_search_chained
     from tstar_tpu.search.state import init_state
     from tstar_tpu.utils.config import SearchConfig
     from tstar_tpu.bench.reference_style import reference_style_search
-    from tstar_tpu.models.owlvit import OwlViTDetector as _D, postprocess_detections
 
     n_valid = 1024
     # confidence_threshold 2.0: verification can never remove a target, so
-    # both pipelines deterministically run the full budget (1000 frames ->
-    # 63 iterations of 16).
+    # every pipeline deterministically runs the full budget (1000 frames ->
+    # 63 iterations of 16) and every batched step stays active.
     cfg = SearchConfig(search_budget=1.0, confidence_threshold=2.0)
     n_pad = cfg.padded_frames(n_valid)
+    iters = cfg.iteration_cap(n_valid)
+    frames_scored = iters * cfg.frames_per_iteration
 
     model_cfg = owlvit_base_patch32()
     model = OwlViTDetector(model_cfg, dtype=jnp.bfloat16)
@@ -50,51 +87,138 @@ def main():
         jnp.zeros((1, size, size, 3), jnp.bfloat16),
         jnp.zeros((2, model_cfg.text.max_length), jnp.int32),
     )
+    tok = HashTokenizer(vocab_size=model_cfg.text.vocab_size,
+                        context=model_cfg.text.max_length)
 
     rng = np.random.default_rng(0)
     cache_np = rng.integers(0, 256, size=(n_pad, *cfg.cache_hw, 3), dtype=np.uint8)
     cache_np[n_valid:] = 0
     cache = jnp.asarray(cache_np)
-    tok = HashTokenizer(vocab_size=model_cfg.text.vocab_size,
-                        context=model_cfg.text.max_length)
-    scorer = make_owlvit_scorer(
-        model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg
-    )
-    state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
 
-    from tstar_tpu.search.engine import run_search_chained
+    def time_best_of(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
 
-    # warmup/compile (host-dispatched masked-step chain; bit-identical to
-    # the while_loop form but pipelines steps without per-iteration control
-    # overhead)
-    final, secs = run_search_chained(state, scorer, cfg)
-    jax.block_until_ready((final.scores, secs))
-    iters = int(final.iteration)
-    frames_scored = iters * cfg.frames_per_iteration
+    extra = {}
 
-    # best-of-3: the TPU attachment is a shared tunnel with large run-to-run
-    # variance; the minimum is the least-contended measurement.
-    ours_t = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        final, secs = run_search_chained(state, scorer, cfg)
-        jax.block_until_ready((final.scores, secs))
-        ours_t = min(ours_t, time.perf_counter() - t0)
-    ours_fps = frames_scored / ours_t
+    # ---- B=1: single-video engine, Pallas (auto) vs XLA preprocess ----
+    b1 = {}
+    for label, pallas in (("pallas", True), ("xla", False)):
+        cfg1 = dataclasses.replace(cfg, use_pallas_preprocess=pallas)
+        if pallas and jax.default_backend() != "tpu":
+            continue
+        scorer = make_owlvit_scorer(
+            model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg1
+        )
+        state = init_state(n_valid, 1, cfg1, jax.random.key(1), n_pad=n_pad)
+
+        def run1():
+            final, secs = run_search_chained(state, scorer, cfg1)
+            jax.block_until_ready((final.scores, secs))
+
+        run1()  # compile
+        b1[label] = frames_scored / time_best_of(run1)
+    extra["b1_frames_per_sec"] = {k: round(v, 2) for k, v in b1.items()}
+    ours_b1 = max(b1.values())
+
+    # ---- batched multi-video engine at B in {4, 8} ----
+    per_batch = {1: round(ours_b1, 2)}
+    step_jit = jax.jit(batched_search_step, static_argnums=2)
+    best_b, best_fps, best_time, best_args = 1, ours_b1, None, None
+    for B in (4, 8):
+        caches_b, states_b, qe, qm, cw = [], [], None, None, None
+        scorers_b = []
+        for i in range(B):
+            c_np = rng.integers(0, 256, size=(n_pad, *cfg.cache_hw, 3), dtype=np.uint8)
+            c_np[n_valid:] = 0
+            scorers_b.append(
+                make_owlvit_scorer(
+                    model, variables, jnp.asarray(c_np),
+                    ["target"], ["cue one", "cue two"], tok, cfg,
+                )
+            )
+            states_b.append(
+                init_state(n_valid, 1, cfg, jax.random.key(100 + i), n_pad=n_pad)
+            )
+        batched_scorer = OwlVitScorer(
+            cache=jnp.stack([s.cache for s in scorers_b]),
+            variables=variables,
+            query_embeds=jnp.stack([s.query_embeds for s in scorers_b]),
+            query_mask=jnp.stack([s.query_mask for s in scorers_b]),
+            class_weights=jnp.stack([s.class_weights for s in scorers_b]),
+            model=model,
+            config=dataclasses.replace(cfg, use_pallas_preprocess=False),
+        )
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states_b)
+
+        def runB():
+            finals, secs = run_search_batched_chained(
+                stacked, batched_scorer, cfg, max_iterations=iters
+            )
+            jax.block_until_ready((finals.scores, secs))
+
+        runB()  # compile
+        tB = time_best_of(runB)
+        fps = B * frames_scored / tB
+        per_batch[B] = round(fps, 2)
+        if fps > best_fps:
+            best_b, best_fps, best_time = B, fps, tB
+            best_args = (stacked, batched_scorer)
+    extra["frames_per_sec_by_batch"] = per_batch
+
+    # ---- MFU at the best batch ----
+    dev = jax.devices()[0]
+    peak = _peak_flops(getattr(dev, "device_kind", "") or "")
+    mfu = None
+    step_flops = None
+    if best_args is not None:
+        try:
+            compiled = step_jit.lower(best_args[0], best_args[1], cfg).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            step_flops = float(ca.get("flops", 0.0))
+        except Exception:
+            step_flops = None
+    if step_flops is None or step_flops <= 0:
+        # Analytic fallback: OWL-ViT B/32 over an SxS image is ~2 * params_eff
+        # matmul work; use the known ~110 GFLOP/grid-forward figure + text once.
+        step_flops = 110e9 * best_b
+        extra["flops_source"] = "analytic"
+    else:
+        extra["flops_source"] = "cost_analysis"
+    if peak and best_time:
+        mfu = step_flops * iters / best_time / peak
+        extra["mfu_best_batch"] = round(mfu, 4)
+    extra["device_kind"] = getattr(dev, "device_kind", str(dev))
+    extra["best_batch"] = best_b
+    extra["step_flops"] = step_flops
+
+    ours_fps = best_fps
 
     # --- reference-style baseline: same weights, same chip, host loop ---
     @jax.jit
     def _detector_forward(vars_, pixels, q_embeds, q_mask):
-        feats = model.apply(vars_, pixels.astype(jnp.bfloat16), method=_D.encode_image)
-        logits, boxes = model.apply(vars_, feats, q_embeds, q_mask, method=_D.predict)
+        feats = model.apply(vars_, pixels.astype(jnp.bfloat16),
+                            method=OwlViTDetector.encode_image)
+        logits, boxes = model.apply(vars_, feats, q_embeds, q_mask,
+                                    method=OwlViTDetector.predict)
         return postprocess_detections(logits, boxes, (size, size))
+
+    scorer0 = make_owlvit_scorer(
+        model, variables, cache, ["target"], ["cue one", "cue two"], tok,
+        dataclasses.replace(cfg, use_pallas_preprocess=False),
+    )
 
     def detector_forward(pixels):
         return _detector_forward(
-            variables, pixels, scorer.query_embeds, scorer.query_mask
+            variables, pixels, scorer0.query_embeds, scorer0.query_mask
         )
 
-    # warmup compile
     jax.block_until_ready(
         detector_forward(jnp.zeros((1, size, size, 3), jnp.bfloat16))
     )
@@ -102,18 +226,20 @@ def main():
         detector_forward,
         cache_np,
         n_valid,
-        np.asarray(scorer.class_weights),
+        np.asarray(scorer0.class_weights),
         n_targets=1,
         config=cfg,
         detector_size=size,
     )
     base_fps = base_frames / base_t
+    extra["reference_style_frames_per_sec"] = round(base_fps, 2)
 
     print(json.dumps({
         "metric": "tstar_search_frames_scored_per_sec_per_chip",
         "value": round(ours_fps, 2),
         "unit": "frames/sec",
         "vs_baseline": round(ours_fps / base_fps, 2),
+        "extra": extra,
     }))
 
 

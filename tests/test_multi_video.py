@@ -122,6 +122,40 @@ class TestSearchVideos:
         )
         assert len(res) == 1 and res[0]["video_id"] == "good"
 
+    def test_length_bucketing_and_decode_overlap(self, videos, tmp_path_factory, caplog):
+        import logging
+
+        # 40 s and 70 s pad to 128; a 140 s video pads to 256 -> 2 buckets.
+        d = tmp_path_factory.mktemp("mv_long")
+        long_p = str(d / "long.mp4")
+        write_synthetic_video(
+            long_p, duration_sec=140.0, fps=10.0, hw=(48, 64),
+            objects=[PlantedObject("couch", (100.0, 110.0), (200, 40, 40),
+                                   (0.5, 0.5), 0.4)],
+        )
+        cfg = SearchConfig(search_budget=0.5, cache_hw=(32, 64))
+        tasks = [
+            VideoTask(long_p, ["couch"], ["tv"], seed=0),
+            VideoTask(videos[0], ["couch"], ["tv"], seed=1),
+            VideoTask(videos[1], ["couch"], ["lamp"], seed=2),
+        ]
+        with caplog.at_level(logging.INFO, logger="tstar_tpu.parallel.multi_video"):
+            results = search_videos(tasks, _tiny_heuristic(), cfg)
+        assert any("length buckets" in r.message for r in caplog.records)
+        # results come back in TASK order despite bucket reordering
+        assert len(results) == 3
+        assert results[0]["video_path"] == long_p
+        for r, dur in zip(results, [140, 40, 70]):
+            assert len(r["keyframe_distribution"]) == int(dur)
+            assert max(r["keyframe_secs"]) < dur
+        # the short videos must NOT have been padded to the long bucket:
+        # their distributions are over their own n_valid (asserted above) and
+        # the unbucketed path still works for comparison
+        res_flat = search_videos(
+            tasks[1:], _tiny_heuristic(), cfg, bucket_by_length=False
+        )
+        assert [len(r["keyframe_distribution"]) for r in res_flat] == [40, 70]
+
     def test_rejects_table_scorer_backends(self, videos):
         from tstar_tpu.framework.heuristics import initialize_heuristic
 

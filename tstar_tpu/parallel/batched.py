@@ -69,16 +69,23 @@ def run_search_batched_chained(
     """Host-dispatched chain of batched masked steps (see
     engine.run_search_chained for why: per-iteration while-loop control costs
     dominate on the tunneled TPU attachment).  Bit-identical results."""
-    step = jax.jit(batched_search_step, static_argnums=2)
     for _ in range(max_iterations):
-        states = step(states, scorer, config)
+        states = _batched_step_jit(states, scorer, config)
+    return _batched_pop_jit(states, config)
 
+
+def _batched_pop(states: SearchState, config: SearchConfig):
     def pop_one(state):
         rng, key = jax.random.split(state.rng)
         state = state.replace(rng=rng)
         return state, pop_frame_secs(state, key, config)
 
-    return jax.jit(jax.vmap(pop_one))(states)
+    return jax.vmap(pop_one)(states)
+
+
+# Module-level jits: repeated batched searches retrace once per shape.
+_batched_step_jit = jax.jit(batched_search_step, static_argnums=2)
+_batched_pop_jit = jax.jit(_batched_pop, static_argnums=1)
 
 
 def run_search_batched(

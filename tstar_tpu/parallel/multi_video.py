@@ -5,12 +5,22 @@ shared bucket length, per-video states stack on a leading axis sharded over
 the ``data`` mesh axis, and every iteration runs ONE detector forward over
 B grid images (vs the reference's serial per-video loop,
 ``run_TStar_onDataset.py:195-205``).
+
+Two throughput measures over the serial reference loop:
+  * **length bucketing** — videos group by padded cache length before
+    stacking, so one 4-hour video doesn't pad a batch of 10-minute videos
+    to 4 hours of masked steps;
+  * **decode/compute overlap** — the next bucket's host FFmpeg decode runs
+    on worker threads while the device searches the current bucket (the
+    decode sweep replaces the reference's per-iteration decode hot path,
+    ``interface_searcher.py:157-169``).
 """
 
 from __future__ import annotations
 
 import dataclasses
 import logging
+from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -19,10 +29,13 @@ import numpy as np
 
 from tstar_tpu.parallel.batched import run_search_batched_chained
 from tstar_tpu.parallel.mesh import DATA_AXIS
-from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
+from tstar_tpu.search.detector_scorer import (
+    OwlVitScorer,
+    resolve_pallas_preprocess,
+)
 from tstar_tpu.search.state import init_state
 from tstar_tpu.utils.config import SearchConfig
-from tstar_tpu.video.cache import build_frame_cache
+from tstar_tpu.video.cache import build_frame_cache_host, probe_video_length
 
 logger = logging.getLogger(__name__)
 
@@ -35,21 +48,27 @@ class VideoTask:
     seed: int = 0
 
 
-def search_videos(
-    tasks: Sequence[VideoTask],
-    heuristic,
-    config: Optional[SearchConfig] = None,
-    mesh=None,
-) -> List[Dict]:
-    """Search all videos to completion in one batched on-device loop.
+def _bucket_indices(
+    n_pads: Sequence[int], bucket_by_length: bool
+) -> List[List[int]]:
+    """Group task indices by padded cache length (ascending)."""
+    if not bucket_by_length:
+        return [list(range(len(n_pads)))]
+    groups: Dict[int, List[int]] = {}
+    for i, p in enumerate(n_pads):
+        groups.setdefault(p, []).append(i)
+    return [groups[p] for p in sorted(groups)]
 
-    The heuristic must produce ``OwlVitScorer``-shaped scorers (shared
-    detector weights; per-video caches/prompts).  Returns one dict per video:
-    {"keyframe_timestamps", "keyframe_secs", "remaining_targets",
-     "iterations"}.
-    """
-    config = config or SearchConfig()
-    caches = [build_frame_cache(t.video_path, config) for t in tasks]
+
+def _search_bucket(
+    tasks: Sequence[VideoTask],
+    host_caches,
+    heuristic,
+    config: SearchConfig,
+    mesh,
+) -> List[Dict]:
+    """Stack one equal-length bucket and run it to completion on device."""
+    caches = [hc.to_device() for hc in host_caches]
     n_pad = max(c.n_pad for c in caches)
 
     scorers, states = [], []
@@ -75,6 +94,9 @@ def search_videos(
             )
         )
 
+    batched_config = resolve_pallas_preprocess(
+        config, caches[0].frames.shape, batched=True
+    )
     batched_scorer = OwlVitScorer(
         cache=jnp.stack([s.cache for s in scorers]),
         variables=scorers[0].variables,           # shared weights
@@ -82,7 +104,7 @@ def search_videos(
         query_mask=jnp.stack([s.query_mask for s in scorers]),
         class_weights=jnp.stack([s.class_weights for s in scorers]),
         model=scorers[0].model,
-        config=config,
+        config=batched_config,
     )
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
@@ -128,4 +150,58 @@ def search_videos(
                 "iterations": int(iterations[i]),
             }
         )
+    return results
+
+
+def search_videos(
+    tasks: Sequence[VideoTask],
+    heuristic,
+    config: Optional[SearchConfig] = None,
+    mesh=None,
+    bucket_by_length: bool = True,
+    decode_workers: int = 2,
+) -> List[Dict]:
+    """Search all videos to completion in batched on-device loops.
+
+    The heuristic must produce ``OwlVitScorer``-shaped scorers (shared
+    detector weights; per-video caches/prompts).  Videos are grouped into
+    equal-padded-length buckets (no pad-to-longest blowup) and the next
+    bucket's decode overlaps the current bucket's device search.  Returns
+    one dict per video, in task order:
+    {"keyframe_timestamps", "keyframe_secs", "keyframe_distribution",
+     "remaining_targets", "iterations"}.
+    """
+    config = config or SearchConfig()
+    n_pads = [probe_video_length(t.video_path, config)[1] for t in tasks]
+    buckets = _bucket_indices(n_pads, bucket_by_length)
+    if len(buckets) > 1:
+        logger.info(
+            "search_videos: %d videos -> %d length buckets (padded lengths %s)",
+            len(tasks), len(buckets),
+            [n_pads[b[0]] for b in buckets],
+        )
+
+    results: List[Optional[Dict]] = [None] * len(tasks)
+    with ThreadPoolExecutor(max_workers=max(1, decode_workers)) as pool:
+        futures = {}
+
+        def submit(bucket: List[int]):
+            for i in bucket:
+                if i not in futures:
+                    futures[i] = pool.submit(
+                        build_frame_cache_host, tasks[i].video_path, config
+                    )
+
+        submit(buckets[0])
+        for b, bucket in enumerate(buckets):
+            # Overlap: queue the NEXT bucket's decode before blocking on this
+            # bucket's caches / launching its device search.
+            if b + 1 < len(buckets):
+                submit(buckets[b + 1])
+            host_caches = [futures.pop(i).result() for i in bucket]
+            out = _search_bucket(
+                [tasks[i] for i in bucket], host_caches, heuristic, config, mesh
+            )
+            for i, r in zip(bucket, out):
+                results[i] = r
     return results

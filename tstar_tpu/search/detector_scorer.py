@@ -28,6 +28,32 @@ from tstar_tpu.ops.splat import splat_detections_to_cells
 from tstar_tpu.utils.config import SearchConfig
 
 
+def resolve_pallas_preprocess(
+    config: SearchConfig, cache_shape, batched: bool = False
+) -> SearchConfig:
+    """Resolve ``use_pallas_preprocess=None`` (auto) to a concrete bool.
+
+    Auto turns the fused Pallas grid builder ON when running on TPU with a
+    tile-aligned cache (uint8 DMA slices: height % 32 == 0, width*3 % 128 ==
+    0 — see CLAUDE.md) in the single-video path; the vmapped multi-video
+    batch keeps the XLA builder (pallas_call batching under vmap is not
+    exercised on the remote-compile relay).  An explicit True/False always
+    wins.
+    """
+    import dataclasses
+
+    if config.use_pallas_preprocess is not None:
+        return config
+    ch, cw = int(cache_shape[-3]), int(cache_shape[-2])
+    on = (
+        not batched
+        and jax.default_backend() == "tpu"
+        and ch % 32 == 0
+        and (cw * 3) % 128 == 0
+    )
+    return dataclasses.replace(config, use_pallas_preprocess=on)
+
+
 @struct.dataclass
 class OwlVitScorer:
     cache: jax.Array          # (N_pad, ch, cw, 3) uint8 1-fps frame cache
@@ -42,6 +68,11 @@ class OwlVitScorer:
     def num_classes(self) -> int:
         return self.query_embeds.shape[0]
 
+    @property
+    def detection_image_size(self) -> int:
+        """Side of the square detector canvas the detection boxes live in."""
+        return self.model.cfg.vision.image_size
+
     def _detect(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
         feats = self.model.apply(
             self.variables, pixels, method=OwlViTDetector.encode_image
@@ -53,7 +84,9 @@ class OwlVitScorer:
         size = self.model.cfg.vision.image_size
         return postprocess_detections(logits, boxes, (size, size))
 
-    def score_grid(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def _score_grid_full(
+        self, secs: jax.Array
+    ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
@@ -74,7 +107,32 @@ class OwlVitScorer:
             grid_shape=grid_shape, image_hw=(size, size),
             num_classes=self.num_classes,
         )
-        return conf_map.reshape(-1), presence
+        return conf_map.reshape(-1), presence, (scores[0], class_ids[0], boxes[0])
+
+    def score_grid(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        conf, presence, _ = self._score_grid_full(secs)
+        return conf, presence
+
+    def score_grid_detailed(
+        self, secs: jax.Array, max_boxes: int = 64
+    ) -> Tuple[jax.Array, jax.Array, dict]:
+        """score_grid + the top-``max_boxes`` raw detections of the grid image.
+
+        Feeds the per-iteration detection history the reference records for
+        its search GIF (``interface_searcher.py:469-474``: annotated grid +
+        bbox list each iteration).  Boxes are xyxy in detector-image pixels
+        (the S x S grid canvas); ``valid`` marks boxes above the post-process
+        threshold.
+        """
+        conf, presence, (scores, class_ids, boxes) = self._score_grid_full(secs)
+        top_s, idx = jax.lax.top_k(scores, min(max_boxes, scores.shape[0]))
+        dets = {
+            "scores": top_s,
+            "class_ids": class_ids[idx],
+            "boxes": boxes[idx],
+            "valid": top_s > self.config.detector_threshold,
+        }
+        return conf, presence, dets
 
     def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
@@ -155,6 +213,7 @@ def make_owlvit_scorer(
     ``config.max_objects`` so shapes stay static.  Target slot t of the
     engine's remaining-mask corresponds to class slot t here.
     """
+    config = resolve_pallas_preprocess(config, cache.shape)
     ids_pad, mask_pad, weights = build_prompt_batch(
         target_objects, cue_objects, tokenizer, config
     )

@@ -129,16 +129,26 @@ def _apply_verification(
 
 
 def search_step(
-    state: SearchState, scorer: Scorer, config: SearchConfig
+    state: SearchState, scorer: Scorer, config: SearchConfig,
+    collect_detections: bool = False,
 ) -> Tuple[SearchState, Dict[str, jax.Array]]:
-    """One search iteration.  Returns (new state, aux for visualization)."""
+    """One search iteration.  Returns (new state, aux for visualization).
+
+    With ``collect_detections`` (static), aux additionally carries the raw
+    grid-image detections when the scorer exposes ``score_grid_detailed``
+    (the reference's per-iteration bbox history, interface_searcher.py:469-474).
+    """
     k = config.frames_per_iteration
     rng, sample_key = jax.random.split(state.rng)
 
     secs = sample_frame_secs(state, sample_key, config)
     budget = state.budget - k
 
-    conf, presence = scorer.score_grid(secs)
+    detections = None
+    if collect_detections and hasattr(scorer, "score_grid_detailed"):
+        conf, presence, detections = scorer.score_grid_detailed(secs)
+    else:
+        conf, presence = scorer.score_grid(secs)
 
     # Mark visited, write raw scores (interface_searcher.py:308-311).
     scores = state.scores.at[secs].set(conf)
@@ -169,6 +179,8 @@ def search_step(
         rng=rng,
     )
     aux = {"secs": secs, "conf": conf, "presence": presence, "is_top": is_top}
+    if detections is not None:
+        aux["detections"] = detections
     return new_state, aux
 
 
@@ -248,13 +260,19 @@ def run_search_chained(
     """
     if max_iterations is None:
         max_iterations = config.iteration_cap(int(state.n_valid))
-    step = jax.jit(masked_search_step, static_argnums=2)
     for _ in range(max_iterations):
-        state = step(state, scorer, config)
+        state = _masked_step_jit(state, scorer, config)
     rng, pop_key = jax.random.split(state.rng)
     state = state.replace(rng=rng)
-    secs = jax.jit(pop_frame_secs, static_argnums=2)(state, pop_key, config)
+    secs = _pop_jit(state, pop_key, config)
     return state, secs
+
+
+# Module-level jits so repeated searches in one process retrace once, not
+# per call (scorer/state are ARGUMENTS — see the HLO-constant note below).
+_masked_step_jit = jax.jit(masked_search_step, static_argnums=2)
+_pop_jit = jax.jit(pop_frame_secs, static_argnums=2)
+_step_jit = jax.jit(search_step, static_argnums=(2, 3))
 
 
 def run_search_with_history(
@@ -270,20 +288,20 @@ def run_search_with_history(
     # NOTE: the scorer is a jit ARGUMENT, not a closure — closed-over arrays
     # (frame caches, detector weights) would be inlined into the HLO as
     # constants, bloating the serialized module by hundreds of MB.
-    step = jax.jit(search_step, static_argnums=2)
     history: List[Dict[str, Any]] = []
     while bool(_continue(state)):
-        state, aux = step(state, scorer, config)
-        history.append(
-            {
-                "P": jax.device_get(state.P),
-                "scores": jax.device_get(state.scores),
-                "visited": jax.device_get(state.visited),
-                "secs": jax.device_get(aux["secs"]),
-                "conf": jax.device_get(aux["conf"]),
-            }
-        )
+        state, aux = _step_jit(state, scorer, config, True)
+        snap = {
+            "P": jax.device_get(state.P),
+            "scores": jax.device_get(state.scores),
+            "visited": jax.device_get(state.visited),
+            "secs": jax.device_get(aux["secs"]),
+            "conf": jax.device_get(aux["conf"]),
+        }
+        if "detections" in aux:
+            snap["detections"] = jax.device_get(aux["detections"])
+        history.append(snap)
     rng, pop_key = jax.random.split(state.rng)
     state = state.replace(rng=rng)
-    secs = jax.jit(pop_frame_secs, static_argnums=2)(state, pop_key, config)
+    secs = _pop_jit(state, pop_key, config)
     return state, secs, history

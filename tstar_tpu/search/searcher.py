@@ -97,6 +97,10 @@ class KeyframeSearcher:
         self.Score_history: List[List[float]] = []
         self.non_visiting_history: List[List[float]] = []
         self.sampled_history: List[List[int]] = []
+        # Per-iteration raw detections on the grid image (reference
+        # detect_bbox_iters, interface_searcher.py:80-82,469-474): list of
+        # {"boxes" (D,4) xyxy in detector-image px, "scores", "class_ids"}.
+        self.detect_bbox_iters: List[Dict[str, np.ndarray]] = []
 
     # -- introspection (reference attribute parity) -----------------------
     def _np(self, arr) -> np.ndarray:
@@ -151,6 +155,16 @@ class KeyframeSearcher:
                 (1.0 - snap["visited"][:n].astype(np.float32)).tolist()
             )
             self.sampled_history.append(snap["secs"].tolist())
+            if "detections" in snap:
+                d = snap["detections"]
+                valid = np.asarray(d["valid"])
+                self.detect_bbox_iters.append(
+                    {
+                        "boxes": np.asarray(d["boxes"])[valid],
+                        "scores": np.asarray(d["scores"])[valid],
+                        "class_ids": np.asarray(d["class_ids"])[valid],
+                    }
+                )
         return self._materialize(np.asarray(secs))
 
     def _record_final_history(self):
@@ -195,18 +209,51 @@ class KeyframeSearcher:
             self.score_distribution, self.duration, save_path=save_path
         )
 
-    def grid_images(self) -> List[np.ndarray]:
-        """Re-render the sampled grids per iteration (visualization sink)."""
+    def grid_images(self, annotate: bool = True) -> List[np.ndarray]:
+        """Re-render the sampled grids per iteration (visualization sink).
+
+        With ``annotate`` (default) and a recorded detection history, each
+        grid carries its iteration's detection boxes + labels — the
+        reference's annotated search GIF (interface_searcher.py:469-474).
+        """
         from tstar_tpu.viz.artifacts import render_grid_image
+        from tstar_tpu.viz.boxes import draw_boxes
 
         cache = np.asarray(self.cache.frames)
-        return [
+        rows, cols = self.config.grid_rows, self.config.grid_cols
+        grids = [
             render_grid_image(
-                cache, secs, (self.config.grid_rows, self.config.grid_cols),
-                cell_hw=self.config.cell_hw,
+                cache, secs, (rows, cols), cell_hw=self.config.cell_hw
             )
             for secs in self.sampled_history
         ]
+        if not annotate or not self.detect_bbox_iters:
+            return grids
+        det_size = getattr(self.scorer, "detection_image_size", None)
+        if det_size is None:
+            return grids
+        names = self.target_objects + self.cue_objects + [" "]
+        ch, cw = self.config.cell_hw
+        sx, sy = cols * cw / det_size, rows * ch / det_size
+        out = []
+        for grid, dets in zip(grids, self.detect_bbox_iters):
+            boxes = np.asarray(dets["boxes"], np.float64) * [sx, sy, sx, sy]
+            labels = [
+                f"{names[c] if c < len(names) else c} {s:.2f}"
+                for c, s in zip(dets["class_ids"], dets["scores"])
+            ]
+            out.append(
+                draw_boxes(grid, boxes, labels=labels,
+                           class_ids=list(dets["class_ids"]))
+            )
+        out.extend(grids[len(out):])
+        return out
+
+    @property
+    def detect_annotot_iters(self) -> List[np.ndarray]:
+        """Annotated grid per iteration (reference attribute name parity,
+        interface_searcher.py:80-82 — sic: 'annotot')."""
+        return self.grid_images(annotate=True)
 
 
 # Reference-compatible alias (TStar/interface_searcher.py:14).

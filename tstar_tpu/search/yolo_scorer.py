@@ -34,6 +34,10 @@ class YoloWorldScorer:
     def num_classes(self) -> int:
         return self.text_embeds.shape[0]
 
+    @property
+    def detection_image_size(self) -> int:
+        return self.model.cfg.image_size
+
     def _pixels_grid(self, secs: jax.Array) -> jax.Array:
         cfg = self.config
         size = self.model.cfg.image_size
@@ -50,7 +54,7 @@ class YoloWorldScorer:
             max_dets=c.max_dets,
         )
 
-    def score_grid(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    def _score_grid_full(self, secs: jax.Array):
         cfg = self.config
         size = self.model.cfg.image_size
         scores, class_ids, boxes, keep = self._detect(self._pixels_grid(secs))
@@ -59,7 +63,18 @@ class YoloWorldScorer:
             grid_shape=(cfg.grid_rows, cfg.grid_cols),
             image_hw=(size, size), num_classes=self.num_classes,
         )
-        return conf_map.reshape(-1), presence
+        return conf_map.reshape(-1), presence, (scores[0], class_ids[0], boxes[0], keep[0])
+
+    def score_grid(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        conf, presence, _ = self._score_grid_full(secs)
+        return conf, presence
+
+    def score_grid_detailed(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array, dict]:
+        """score_grid + the NMS'd grid-image detections (see OwlVitScorer)."""
+        conf, presence, (scores, class_ids, boxes, keep) = self._score_grid_full(secs)
+        dets = {"scores": scores, "class_ids": class_ids, "boxes": boxes,
+                "valid": keep}
+        return conf, presence, dets
 
     def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         size = self.model.cfg.image_size

@@ -66,7 +66,10 @@ class SearchConfig:
     # --- engine behaviour (ours) ---
     deterministic_pop: bool = False   # True: top-k keyframes instead of sampled
     max_iterations: Optional[int] = None  # override; default derived from budget
-    use_pallas_preprocess: bool = False   # fused Pallas grid builder (TPU)
+    # Fused Pallas grid builder (kernels/pallas_grid.py).  None = auto: on for
+    # TPU single-video scorers with a tile-aligned cache (height % 32 == 0,
+    # width*3 % 128 == 0), off elsewhere (CPU, vmapped multi-video batch).
+    use_pallas_preprocess: Optional[bool] = None
 
     @property
     def frames_per_iteration(self) -> int:

@@ -56,20 +56,54 @@ def fit_cache_hw(
     return (h, w)
 
 
-def build_frame_cache(
+@dataclasses.dataclass(frozen=True)
+class HostFrameCache:
+    """The decoded, padded cache still in host memory (pre-``device_put``).
+
+    Lets a batched runner decode on host threads while the device searches
+    the previous batch, then ship each bucket to HBM right before use."""
+
+    frames: np.ndarray       # (N_pad, ch, cw, 3) uint8, host-resident
+    n_valid: int
+    raw_fps: float
+    duration: float
+
+    @property
+    def n_pad(self) -> int:
+        return self.frames.shape[0]
+
+    def to_device(self, device: Optional[jax.Device] = None) -> FrameCache:
+        return FrameCache(
+            frames=jax.device_put(self.frames, device),
+            n_valid=self.n_valid, raw_fps=self.raw_fps, duration=self.duration,
+        )
+
+
+def probe_video_length(video_path: str, config: SearchConfig) -> tuple:
+    """(n_valid, n_pad) from the container header only — no frame decode.
+
+    Used for length-bucketing a batch before paying for any decode
+    (reference probe: interface_searcher.py:60-68)."""
+    dec = open_video(video_path)
+    try:
+        meta = dec.meta
+        if meta.fps <= 0 or meta.total_frames <= 0:
+            raise ValueError(f"Cannot probe video: {video_path}")
+        duration = meta.total_frames / meta.fps
+        n_valid = int(duration * config.sampling_fps)
+        return n_valid, config.padded_frames(n_valid)
+    finally:
+        dec.close()
+
+
+def build_frame_cache_host(
     video_path: str,
     config: SearchConfig,
-    device: Optional[jax.Device] = None,
     decoder=None,
     hbm_budget_bytes: int = 6 * 1024 ** 3,
-) -> FrameCache:
-    """Probe + sweep-decode a video into a padded device-resident cache.
-
-    Mirrors the reference's video property probe (interface_searcher.py:60-68:
-    duration = frame_count / fps, N = int(duration * sampling_fps)).  The
-    cache resolution automatically steps down for very long videos so the
-    cache stays within ``hbm_budget_bytes`` (logged when it happens).
-    """
+) -> HostFrameCache:
+    """Probe + sweep-decode a video into a padded HOST cache (thread-safe;
+    runs fully off-device so decode can overlap device compute)."""
     import logging
 
     logger = logging.getLogger(__name__)
@@ -100,10 +134,29 @@ def build_frame_cache(
         frames = dec.decode_sweep(period, n_valid, out_hw=cache_hw)
         padded = np.zeros((n_pad, *cache_hw, 3), np.uint8)
         padded[:n_valid] = frames
-        arr = jax.device_put(padded, device)
-        return FrameCache(
-            frames=arr, n_valid=n_valid, raw_fps=meta.fps, duration=duration
+        return HostFrameCache(
+            frames=padded, n_valid=n_valid, raw_fps=meta.fps, duration=duration
         )
     finally:
         if own:
             dec.close()
+
+
+def build_frame_cache(
+    video_path: str,
+    config: SearchConfig,
+    device: Optional[jax.Device] = None,
+    decoder=None,
+    hbm_budget_bytes: int = 6 * 1024 ** 3,
+) -> FrameCache:
+    """Probe + sweep-decode a video into a padded device-resident cache.
+
+    Mirrors the reference's video property probe (interface_searcher.py:60-68:
+    duration = frame_count / fps, N = int(duration * sampling_fps)).  The
+    cache resolution automatically steps down for very long videos so the
+    cache stays within ``hbm_budget_bytes`` (logged when it happens).
+    """
+    host = build_frame_cache_host(
+        video_path, config, decoder=decoder, hbm_budget_bytes=hbm_budget_bytes
+    )
+    return host.to_device(device)
