@@ -17,8 +17,9 @@ from tstar_tpu.search.state import init_state
 from tstar_tpu.utils.config import SearchConfig
 
 TINY = YoloWorldConfig(
-    widths=(8, 16, 32, 64, 64), depths=(1, 1, 1, 1), text_dim=24,
-    embed_dim=16, reg_max=4, image_size=64,
+    widths=(8, 16, 32, 64, 64), depths=(1, 1, 1, 1), neck_depth=1,
+    neck_embed=(16, 32, 32), neck_heads=(2, 4, 4),
+    text_dim=24, reg_max=4, image_size=64,
 )
 
 
@@ -71,12 +72,13 @@ class TestFullSearchWithYolo:
         heuristic.variables = heuristic.model.init(
             jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((2, 24))
         )
-        from tstar_tpu.models.owlvit import TextConfig, TextTower
+        from tstar_tpu.models.owlvit import TextConfig
+        from tstar_tpu.models.yoloworld import YoloTextEncoder
         from tstar_tpu.models.clip_tokenizer import HashTokenizer
 
         tc = TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
                         num_heads=4, intermediate_size=48, max_length=8)
-        heuristic.text_model = TextTower(tc, dtype=jnp.float32)
+        heuristic.text_model = YoloTextEncoder(tc, projection_dim=24, dtype=jnp.float32)
         heuristic.text_variables = heuristic.text_model.init(
             jax.random.key(1), jnp.zeros((2, 8), jnp.int32), jnp.ones((2, 8), jnp.int32)
         )

@@ -301,12 +301,16 @@ def initialize_heuristic(
 
 
 class YoloWorldHeuristic:
-    """YOLO-World-class backend (reference TStarFramework.py:180-185).
+    """YOLO-World v2 backend (reference TStarFramework.py:180-185).
 
-    Loads native Flax checkpoints (models/loader.save_flax_params format);
-    mmdet->Flax weight conversion is future work (the mmdet graph cannot be
-    built in this environment to validate a converter).  Random init serves
-    benchmarks and interface tests.
+    ``checkpoint_dir`` may contain either
+      * an mmdet/mmyolo YOLO-World ``.pth`` (the reference's checkpoint
+        format, e.g. ``yolo_world_v2_xl_obj365v1_goldg_cc3mlite_pretrain-
+        5daf1395.pth``) plus CLIP tokenizer files (vocab.json/merges.txt) —
+        converted tensor-for-tensor by models/yolo_loader.py; or
+      * native Flax checkpoints (models/loader.save_flax_params format).
+    Random init (the explicit ``yolo-world-random`` name) serves benchmarks
+    and interface tests.
     """
 
     def __init__(self, checkpoint_dir: Optional[str] = None, size: str = "xl", seed: int = 0):
@@ -314,31 +318,38 @@ class YoloWorldHeuristic:
         import jax.numpy as jnp
 
         from tstar_tpu.models.clip_tokenizer import HashTokenizer
-        from tstar_tpu.models.owlvit import TextConfig, TextTower
+        from tstar_tpu.models.owlvit import TextConfig
         from tstar_tpu.models.yoloworld import (
-            YoloWorldConfig,
+            YoloTextEncoder,
             YoloWorldDetector,
             yoloworld_small,
+            yoloworld_xl,
         )
 
         self.name = "yolo-world"
         if size not in ("xl", "small"):
             raise ValueError(f"unknown yolo-world size {size!r}; choose xl | small")
-        cfg = yoloworld_small() if size == "small" else YoloWorldConfig()
-        self.model = YoloWorldDetector(cfg, dtype=jnp.bfloat16)
-        text_cfg = TextConfig(hidden_size=cfg.text_dim)
-        self.text_model = TextTower(text_cfg, dtype=jnp.bfloat16)
         if checkpoint_dir:
-            from tstar_tpu.models.loader import load_flax_params
+            from tstar_tpu.models.yolo_loader import load_yolo_world_checkpoint
 
-            self.variables = load_flax_params(checkpoint_dir, "yolo_world.npz")
-            self.text_variables = load_flax_params(checkpoint_dir, "text_tower.npz")
-            from tstar_tpu.models.clip_tokenizer import ClipTokenizer
-
-            self.tokenizer = ClipTokenizer.from_dir(
-                checkpoint_dir, context=text_cfg.max_length
+            (self.model, self.variables, self.text_model, self.text_variables,
+             self.tokenizer) = load_yolo_world_checkpoint(
+                checkpoint_dir, size=size, dtype=jnp.bfloat16
             )
         else:
+            cfg = yoloworld_small() if size == "small" else yoloworld_xl()
+            # CLIP-base text tower at the model's text width (the real tower
+            # is hidden 512 / proj 512; tiny dims for the small variant).
+            text_cfg = TextConfig(
+                hidden_size=cfg.text_dim,
+                num_layers=2 if size == "small" else 12,
+                num_heads=4 if size == "small" else 8,
+                intermediate_size=4 * cfg.text_dim,
+            )
+            self.model = YoloWorldDetector(cfg, dtype=jnp.bfloat16)
+            self.text_model = YoloTextEncoder(
+                text_cfg, projection_dim=cfg.text_dim, dtype=jnp.bfloat16
+            )
             size_px = cfg.image_size
             self.variables = self.model.init(
                 _jax.random.key(seed),
@@ -363,10 +374,11 @@ class YoloWorldHeuristic:
         ids_pad, mask_pad, weights = build_prompt_batch(
             target_objects, cue_objects, self.tokenizer, config
         )
-        pooled = self.text_model.apply(
+        # YoloTextEncoder already projects + L2-normalizes
+        # (HuggingCLIPLanguageBackbone.forward_text).
+        text_embeds = self.text_model.apply(
             self.text_variables, jnp.asarray(ids_pad), jnp.asarray(mask_pad)
         )
-        text_embeds = pooled / (jnp.linalg.norm(pooled, axis=-1, keepdims=True) + 1e-6)
         return YoloWorldScorer(
             cache=cache,
             variables=self.variables,

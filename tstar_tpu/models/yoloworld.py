@@ -1,37 +1,53 @@
-"""YOLO-World-class open-vocabulary detector in Flax.
+"""YOLO-World v2 open-vocabulary detector in Flax.
 
 TPU-native counterpart of the reference's higher-accuracy heuristic backend
 (``TStar/interface_heuristic.py:39-190``: mmdet/mmyolo YOLO-World v2-XL with
 ``reparameterize(texts)`` text conditioning, score threshold 0.12 and
-max_dets 50 in the search path ``:136-168``).
+max_dets 50 in the search path ``:136-168``; checkpoint
+``yolo_world_v2_xl_obj365v1_goldg_cc3mlite_pretrain-5daf1395.pth`` +
+config ``yolo_world_v2_xl_vlpan_bn_...lvis_minival.py``,
+``TStarFramework.py:181-183``, ``install.sh:23``).
 
-Architecture (YOLOv8-style single-stage detector with text conditioning):
-  * CSP backbone — ConvBN(SiLU) stem, C2f cross-stage blocks, SPPF;
-  * text-guided PAN neck — C2f fusion blocks whose outputs are modulated by
-    max-sigmoid attention against the text embeddings (the YOLO-World
-    T-CSPLayer mechanism);
-  * decoupled head per pyramid level — a DFL box branch (distribution over
-    ``reg_max`` bins -> expected l/t/r/b distances at each anchor) and a
-    contrastive class branch (projected region features against L2-normalized
-    text embeddings with a learned logit scale/bias);
-  * fixed-shape post-processing: sigmoid scores, score threshold, class-aware
-    NMS (ops/nms.py), top-``max_dets``.
+The module graph mirrors the mmyolo/YOLO-World v2 architecture structurally
+(so real checkpoints convert tensor-for-tensor; see models/yolo_loader.py):
 
-Text embeddings come from the shared CLIP text tower (models/owlvit.py) and
-are computed ONCE per video, mirroring ``reparameterize_object_list``.
+  * **backbone** — YOLOv8 CSPDarknet: ConvBN(SiLU) stem, per-stage
+    downsample + CSPLayerWithTwoConv (split/bottlenecks/concat/fuse), SPPF
+    on the last stage; XL dims widths (80,160,320,640,640), depths
+    (3,6,6,3) (yolov8-x: deepen 1.0 / widen 1.25).
+  * **neck** — YOLOWorldPAFPN: top-down + bottom-up CSP fusion where every
+    fusion block is a ``MaxSigmoidCSPLayerWithTwoConv``: the standard CSP
+    split/blocks plus an extra branch that projects the last block output
+    (conv+BN, no act) and gates it per-head with
+    ``sigmoid(max_text(embed . guide) / sqrt(head_c) + bias)`` against the
+    text embeddings, all (3+n) branches concatenated into the fuse conv.
+  * **head** — YOLOv8-style decoupled head with *shared* branch widths
+    (cls: max(in0, min(nc,100)); reg: max(in0//4, 16, 4*reg_max)); the reg
+    branch ends in a DFL distribution (softmax-expectation decode to
+    l/t/r/b distances at (x+0.5)*stride anchor points); the cls branch ends
+    in an ``embed_dims`` projection scored by a **BN contrastive head**
+    (BatchNorm over embeddings, dot with L2-normalized text,
+    ``* exp(logit_scale) + bias`` — the v2 replacement for the v1 L2-norm
+    head).
+  * **text** — the shared CLIP text tower (models/owlvit.py TextTower) +
+    ``text_projection`` + L2 normalize (HuggingCLIPLanguageBackbone over
+    CLIPTextModelWithProjection), computed ONCE per video, mirroring
+    ``reparameterize_object_list``.
 
-Weight conversion from mmdet/mmyolo checkpoints is a declared TODO: the
-mmdet graph cannot be instantiated in this environment to validate a
-converter (no mmcv), so this backend currently runs from native Flax
-checkpoints or random init; the search-level contract (thresholds, NMS,
-interface) matches the reference and is tested in ``tests/test_yoloworld.py``.
-BatchNorm is folded into inference-time scale/bias parameters.
+Inference form: every BatchNorm is folded into per-channel scale/bias
+(``bn_scale``/``bn_bias`` params; fold happens in the checkpoint converter).
+Inputs are RGB in [0,1] (the mmyolo YOLOv5DetDataPreprocessor mean 0 /
+std 255); the scorer composes grid cells directly on a square 640 canvas,
+which replaces the reference pipeline's letterbox-resize of the grid image.
+
+Fixed-shape post-processing: sigmoid scores, score threshold, class-aware
+NMS (ops/nms.py), top-``max_dets``.
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -41,29 +57,60 @@ from flax import linen as nn
 
 @dataclasses.dataclass(frozen=True)
 class YoloWorldConfig:
-    widths: Tuple[int, ...] = (64, 128, 256, 512, 512)   # stem + 4 stages
-    depths: Tuple[int, ...] = (1, 2, 2, 1)               # C2f bottlenecks/stage
-    neck_depth: int = 1
-    text_dim: int = 512           # CLIP text width
-    embed_dim: int = 256          # contrastive region-feature dim
+    # XL = yolov8-x scaled dims (deepen 1.0, widen 1.25)
+    widths: Tuple[int, ...] = (80, 160, 320, 640, 640)   # stem + 4 stages
+    depths: Tuple[int, ...] = (3, 6, 6, 3)               # bottlenecks/stage
+    neck_depth: int = 3                                  # CSP blocks per fusion
+    # Per-level MaxSigmoid attention dims, already widen-scaled
+    # (config neck_embed_channels [128,256,256] / neck_num_heads [4,8,8]
+    # x 1.25): indexed like mmyolo embed_channels[idx-1] / [idx+1].
+    neck_embed: Tuple[int, int, int] = (160, 320, 320)
+    neck_heads: Tuple[int, int, int] = (5, 10, 10)
+    text_dim: int = 512           # guide_channels == head embed_dims
     reg_max: int = 16             # DFL bins
     strides: Tuple[int, ...] = (8, 16, 32)
     image_size: int = 640
+    num_classes: int = 100        # only bounds the cls branch width
     score_threshold: float = 0.12   # search-path default (:136)
     nms_iou: float = 0.7
     max_dets: int = 50              # search-path default (:136)
 
+    @property
+    def cls_branch_width(self) -> int:
+        # mmyolo YOLOv8HeadModule._init_layers
+        return max(self.widths[2], min(self.num_classes, 100))
+
+    @property
+    def reg_branch_width(self) -> int:
+        return max(self.widths[2] // 4, 16, self.reg_max * 4)
+
+
+def yoloworld_xl() -> YoloWorldConfig:
+    """The reference's production checkpoint architecture."""
+    return YoloWorldConfig()
+
 
 def yoloworld_small() -> YoloWorldConfig:
-    return YoloWorldConfig(widths=(32, 64, 128, 256, 256), depths=(1, 1, 1, 1))
+    """Tiny variant for tests/benchmarks (same graph, small dims)."""
+    return YoloWorldConfig(
+        widths=(16, 32, 64, 128, 128),
+        depths=(1, 1, 1, 1),
+        neck_depth=1,
+        neck_embed=(32, 64, 64),
+        neck_heads=(2, 4, 4),
+        text_dim=64,
+        image_size=160,
+    )
 
 
 class ConvBN(nn.Module):
-    """Conv + folded-BN affine + SiLU (inference form)."""
+    """Conv + folded-BN affine (+ optional SiLU) — mmyolo ConvModule in
+    inference form (BN folded by the converter)."""
 
     features: int
     kernel: int = 3
     stride: int = 1
+    act: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -74,23 +121,26 @@ class ConvBN(nn.Module):
         )(x)
         scale = self.param("bn_scale", nn.initializers.ones, (self.features,))
         bias = self.param("bn_bias", nn.initializers.zeros, (self.features,))
-        return nn.silu(x * scale.astype(self.dtype) + bias.astype(self.dtype))
+        x = x * scale.astype(self.dtype) + bias.astype(self.dtype)
+        return nn.silu(x) if self.act else x
 
 
 class Bottleneck(nn.Module):
+    """mmyolo DarknetBottleneck(expansion=1, kernels (3,3))."""
+
     features: int
     shortcut: bool = True
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = ConvBN(self.features, 3, dtype=self.dtype, name="cv1")(x)
-        h = ConvBN(self.features, 3, dtype=self.dtype, name="cv2")(h)
+        h = ConvBN(self.features, 3, dtype=self.dtype, name="conv1")(x)
+        h = ConvBN(self.features, 3, dtype=self.dtype, name="conv2")(h)
         return x + h if self.shortcut and x.shape[-1] == self.features else h
 
 
-class C2f(nn.Module):
-    """YOLOv8 cross-stage block: split, run bottlenecks, concat, fuse."""
+class CSPLayer(nn.Module):
+    """mmyolo CSPLayerWithTwoConv: split, run bottlenecks, concat, fuse."""
 
     features: int
     depth: int = 1
@@ -99,63 +149,108 @@ class C2f(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        half = self.features // 2
-        y = ConvBN(self.features, 1, dtype=self.dtype, name="cv_in")(x)
-        a, b = y[..., :half], y[..., half:]
+        mid = self.features // 2
+        y = ConvBN(2 * mid, 1, dtype=self.dtype, name="main_conv")(x)
+        a, b = y[..., :mid], y[..., mid:]
         outs = [a, b]
         for i in range(self.depth):
-            b = Bottleneck(half, self.shortcut, dtype=self.dtype, name=f"m{i}")(b)
+            b = Bottleneck(mid, self.shortcut, dtype=self.dtype, name=f"blocks_{i}")(b)
             outs.append(b)
-        return ConvBN(self.features, 1, dtype=self.dtype, name="cv_out")(
+        return ConvBN(self.features, 1, dtype=self.dtype, name="final_conv")(
             jnp.concatenate(outs, -1)
         )
 
 
 class SPPF(nn.Module):
+    """mmyolo SPPFBottleneck (k=5 x3 sequential poolings)."""
+
     features: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = ConvBN(self.features // 2, 1, dtype=self.dtype, name="cv1")(x)
+        h = ConvBN(x.shape[-1] // 2, 1, dtype=self.dtype, name="conv1")(x)
         pools = [h]
         for _ in range(3):
             pools.append(
                 nn.max_pool(pools[-1], (5, 5), strides=(1, 1), padding="SAME")
             )
-        return ConvBN(self.features, 1, dtype=self.dtype, name="cv2")(
+        return ConvBN(self.features, 1, dtype=self.dtype, name="conv2")(
             jnp.concatenate(pools, -1)
         )
 
 
-class MaxSigmoidAttn(nn.Module):
-    """YOLO-World text-guided modulation: per-pixel max-over-text sigmoid gate."""
+class MaxSigmoidAttnBlock(nn.Module):
+    """mmyolo/yolo_world MaxSigmoidAttnBlock (inference form, with_scale=False).
 
+    x (B, H, W, C_in) + guide (T, guide_dim) -> (B, H, W, C_out):
+      guide' = guide_fc(guide)                         (T, embed)
+      embed  = embed_conv(x) if embed != C_in else x   (B, H, W, embed)
+      attn   = sigmoid(max_T(embed . guide' per head) / sqrt(head_c) + bias)
+      out    = project_conv(x) * attn (broadcast per head)
+    """
+
+    features: int            # C_out
+    embed: int               # embed_channels
+    num_heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, text_embeds):   # x (..., H, W, C), text (T, Dt)
-        c = x.shape[-1]
-        guide = nn.Dense(c, use_bias=False, dtype=self.dtype, name="guide")(
-            text_embeds.astype(self.dtype)
-        )                                                    # (T, C)
-        logit = jnp.einsum("...hwc,tc->...hwt", x, guide) / np.sqrt(c)
-        bias = self.param("bias", nn.initializers.zeros, ())
-        gate = jax.nn.sigmoid(jnp.max(logit, -1) + bias.astype(self.dtype))
-        return x * gate[..., None] * 2.0
+    def __call__(self, x, guide):
+        c_in = x.shape[-1]
+        head_c = self.embed // self.num_heads
+        g = nn.Dense(self.embed, dtype=self.dtype, name="guide_fc")(
+            guide.astype(self.dtype)
+        )                                                   # (T, embed)
+        g = g.reshape(-1, self.num_heads, head_c)           # (T, M, c)
+        e = x
+        if self.embed != c_in:
+            e = ConvBN(self.embed, 1, act=False, dtype=self.dtype,
+                       name="embed_conv")(x)
+        b, h, w, _ = e.shape
+        e = e.reshape(b, h, w, self.num_heads, head_c)
+        logit = jnp.einsum("bhwmc,tmc->bhwmt", e, g)
+        logit = jnp.max(logit, -1) / np.sqrt(head_c)         # (B, H, W, M)
+        bias = self.param("bias", nn.initializers.zeros, (self.num_heads,))
+        gate = jax.nn.sigmoid(logit + bias.astype(self.dtype))
+        p = ConvBN(self.features, 3, act=False, dtype=self.dtype,
+                   name="project_conv")(x)
+        p = p.reshape(b, h, w, self.num_heads, self.features // self.num_heads)
+        p = p * gate[..., None]
+        return p.reshape(b, h, w, self.features)
 
 
-class TextC2f(nn.Module):
-    """C2f followed by max-sigmoid text attention (T-CSPLayer analogue)."""
+class MaxSigmoidCSPLayer(nn.Module):
+    """mmyolo/yolo_world MaxSigmoidCSPLayerWithTwoConv: CSP whose fuse conv
+    additionally sees the text-gated projection of the last block output
+    ((3+n)*mid inputs)."""
 
     features: int
-    depth: int = 1
+    depth: int
+    embed: int
+    num_heads: int
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, text_embeds):
-        h = C2f(self.features, self.depth, shortcut=False, dtype=self.dtype, name="c2f")(x)
-        return MaxSigmoidAttn(dtype=self.dtype, name="attn")(h, text_embeds)
+    def __call__(self, x, guide):
+        mid = self.features // 2
+        y = ConvBN(2 * mid, 1, dtype=self.dtype, name="main_conv")(x)
+        a, b = y[..., :mid], y[..., mid:]
+        outs = [a, b]
+        for i in range(self.depth):
+            # neck fusion blocks: add_identity=False
+            b = Bottleneck(mid, shortcut=False, dtype=self.dtype,
+                           name=f"blocks_{i}")(b)
+            outs.append(b)
+        outs.append(
+            MaxSigmoidAttnBlock(
+                mid, self.embed, self.num_heads, dtype=self.dtype,
+                name="attn_block",
+            )(b, guide)
+        )
+        return ConvBN(self.features, 1, dtype=self.dtype, name="final_conv")(
+            jnp.concatenate(outs, -1)
+        )
 
 
 def _upsample2(x):
@@ -171,64 +266,81 @@ class YoloWorldDetector(nn.Module):
     def __call__(
         self, pixels: jax.Array, text_embeds: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
-        """pixels (B, S, S, 3) in [0,1]; text (T, text_dim) L2-normalized.
+        """pixels (B, S, S, 3) RGB in [0,1]; text (T, text_dim) L2-normalized
+        projected CLIP embeddings.
 
         Returns (logits (B, A, T) f32 pre-sigmoid, boxes_xyxy (B, A, 4) f32
-        in pixels) over all anchors A = sum(S/stride)^2.
+        in pixels) over all anchors A = sum((S/stride)^2).
         """
         c = self.cfg
         w = c.widths
-        x = ConvBN(w[0], 3, 2, dtype=self.dtype, name="stem")(pixels.astype(self.dtype))
+        guide = text_embeds.astype(self.dtype)
 
+        # ---- backbone (YOLOv8 CSPDarknet, out stages 2/3/4) ----
+        x = ConvBN(w[0], 3, 2, dtype=self.dtype, name="stem")(
+            pixels.astype(self.dtype)
+        )
         feats: List[jax.Array] = []
         for i, (width, depth) in enumerate(zip(w[1:], c.depths)):
-            x = ConvBN(width, 3, 2, dtype=self.dtype, name=f"down{i}")(x)
-            x = C2f(width, depth, dtype=self.dtype, name=f"stage{i}")(x)
+            x = ConvBN(width, 3, 2, dtype=self.dtype, name=f"stage{i + 1}_down")(x)
+            x = CSPLayer(width, depth, dtype=self.dtype, name=f"stage{i + 1}_csp")(x)
+            if i == 3:
+                x = SPPF(width, dtype=self.dtype, name="sppf")(x)
             if i >= 1:
                 feats.append(x)          # strides 8, 16, 32
         p3, p4, p5 = feats
-        p5 = SPPF(w[4], dtype=self.dtype, name="sppf")(p5)
 
-        # top-down PAN with text guidance
-        t4 = TextC2f(w[3], c.neck_depth, dtype=self.dtype, name="td4")(
-            jnp.concatenate([_upsample2(p5), p4], -1), text_embeds
-        )
-        t3 = TextC2f(w[2], c.neck_depth, dtype=self.dtype, name="td3")(
-            jnp.concatenate([_upsample2(t4), p3], -1), text_embeds
-        )
-        # bottom-up
-        b4 = TextC2f(w[3], c.neck_depth, dtype=self.dtype, name="bu4")(
-            jnp.concatenate([ConvBN(w[2], 3, 2, dtype=self.dtype, name="bu4_down")(t3), t4], -1),
-            text_embeds,
-        )
-        b5 = TextC2f(w[4], c.neck_depth, dtype=self.dtype, name="bu5")(
-            jnp.concatenate([ConvBN(w[3], 3, 2, dtype=self.dtype, name="bu5_down")(b4), p5], -1),
-            text_embeds,
-        )
+        # ---- neck (YOLOWorldPAFPN; embed/heads indexed per mmyolo) ----
+        e, m = c.neck_embed, c.neck_heads
+        t4 = MaxSigmoidCSPLayer(
+            w[3], c.neck_depth, e[1], m[1], dtype=self.dtype, name="top_down0",
+        )(jnp.concatenate([_upsample2(p5), p4], -1), guide)
+        t3 = MaxSigmoidCSPLayer(
+            w[2], c.neck_depth, e[0], m[0], dtype=self.dtype, name="top_down1",
+        )(jnp.concatenate([_upsample2(t4), p3], -1), guide)
+        d3 = ConvBN(w[2], 3, 2, dtype=self.dtype, name="downsample0")(t3)
+        b4 = MaxSigmoidCSPLayer(
+            w[3], c.neck_depth, e[1], m[1], dtype=self.dtype, name="bottom_up0",
+        )(jnp.concatenate([d3, t4], -1), guide)
+        d4 = ConvBN(w[3], 3, 2, dtype=self.dtype, name="downsample1")(b4)
+        b5 = MaxSigmoidCSPLayer(
+            w[4], c.neck_depth, e[2], m[2], dtype=self.dtype, name="bottom_up1",
+        )(jnp.concatenate([d4, p5], -1), guide)
 
-        all_logits, all_boxes = [], []
+        # ---- head (shared branch widths; DFL box + BN contrastive cls) ----
         text_n = text_embeds / (
-            jnp.linalg.norm(text_embeds, axis=-1, keepdims=True) + 1e-6
+            jnp.linalg.norm(text_embeds, axis=-1, keepdims=True) + 1e-12
         )
+        cls_w, reg_w = c.cls_branch_width, c.reg_branch_width
+        all_logits, all_boxes = [], []
         for li, (feat, stride) in enumerate(zip([t3, b4, b5], c.strides)):
-            # box branch: DFL distributions
-            h = ConvBN(feat.shape[-1], 3, dtype=self.dtype, name=f"box{li}_1")(feat)
-            dfl = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype, name=f"box{li}_2")(h)
-            # class branch: contrastive region-text similarity
-            h = ConvBN(feat.shape[-1], 3, dtype=self.dtype, name=f"cls{li}_1")(feat)
-            emb = nn.Conv(c.embed_dim, (1, 1), dtype=self.dtype, name=f"cls{li}_2")(h)
-            emb = emb / (jnp.linalg.norm(emb, axis=-1, keepdims=True) + 1e-6)
-            proj = nn.Dense(c.embed_dim, use_bias=False, dtype=self.dtype,
-                            name=f"cls{li}_text")(text_n.astype(self.dtype))
-            proj = proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-6)
-            logit_scale = self.param(f"scale{li}", nn.initializers.ones, ())
-            logit_bias = self.param(f"bias{li}", nn.initializers.zeros, ())
+            h = ConvBN(reg_w, 3, dtype=self.dtype, name=f"reg_pred{li}_0")(feat)
+            h = ConvBN(reg_w, 3, dtype=self.dtype, name=f"reg_pred{li}_1")(h)
+            dfl = nn.Conv(4 * c.reg_max, (1, 1), dtype=self.dtype,
+                          name=f"reg_pred{li}_2")(h)
+
+            h = ConvBN(cls_w, 3, dtype=self.dtype, name=f"cls_pred{li}_0")(feat)
+            h = ConvBN(cls_w, 3, dtype=self.dtype, name=f"cls_pred{li}_1")(h)
+            emb = nn.Conv(c.text_dim, (1, 1), dtype=self.dtype,
+                          name=f"cls_pred{li}_2")(h)
+            # BNContrastiveHead (v2): folded BN over embeddings, dot with
+            # normalized text, * exp(logit_scale) + bias.
+            bn_s = self.param(f"contrast{li}_bn_scale",
+                              nn.initializers.ones, (c.text_dim,))
+            bn_b = self.param(f"contrast{li}_bn_bias",
+                              nn.initializers.zeros, (c.text_dim,))
+            emb = emb.astype(jnp.float32) * bn_s + bn_b
+            logit_scale = self.param(f"contrast{li}_logit_scale",
+                                     nn.initializers.constant(-1.0), ())
+            logit_bias = self.param(f"contrast{li}_bias",
+                                    nn.initializers.zeros, ())
             logits = (
-                jnp.einsum("bhwc,tc->bhwt", emb, proj) * logit_scale * 10.0
-                + logit_bias
+                jnp.einsum("bhwc,tc->bhwt", emb, text_n.astype(jnp.float32))
+                * jnp.exp(logit_scale) + logit_bias
             )
 
-            # DFL decode: expectation over bins -> l/t/r/b in stride units
+            # DFL decode: expectation over bins -> l/t/r/b in stride units,
+            # anchor points at (x + 0.5) * stride (MlvlPointGenerator).
             b, hh, ww, _ = dfl.shape
             dist = dfl.reshape(b, hh, ww, 4, c.reg_max)
             bins = jnp.arange(c.reg_max, dtype=jnp.float32)
@@ -249,6 +361,26 @@ class YoloWorldDetector(nn.Module):
             all_logits.append(logits.reshape(b, hh * ww, -1).astype(jnp.float32))
             all_boxes.append(boxes.reshape(b, hh * ww, 4))
         return jnp.concatenate(all_logits, 1), jnp.concatenate(all_boxes, 1)
+
+
+class YoloTextEncoder(nn.Module):
+    """HuggingCLIPLanguageBackbone: CLIP text tower + projection + L2 norm."""
+
+    text_cfg: "TextConfig"          # models/owlvit.py TextConfig
+    projection_dim: int = 512
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask):
+        from tstar_tpu.models.owlvit import TextTower
+
+        pooled = TextTower(self.text_cfg, dtype=self.dtype, name="text")(
+            input_ids, attention_mask
+        )
+        proj = nn.Dense(self.projection_dim, use_bias=False, dtype=self.dtype,
+                        name="text_projection")(pooled)
+        proj = proj.astype(jnp.float32)
+        return proj / (jnp.linalg.norm(proj, axis=-1, keepdims=True) + 1e-12)
 
 
 def postprocess_yolo(
