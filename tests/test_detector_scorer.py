@@ -94,3 +94,35 @@ class TestScorerContracts:
         assert np.isfinite(np.asarray(final1.P)).all()
         # budget arithmetic: 150 * 0.5 = 75 -> at most 5 iterations
         assert int(final1.iteration) <= 5
+
+
+class TestBucketedVerification:
+    def test_bucketed_matches_full_verification(self, scorer_and_state):
+        """verify_batch=T rescores only candidate frames, T at a time — the
+        search trajectory must match the rescore-all-K form exactly."""
+        import dataclasses
+
+        scorer, state, n_valid = scorer_and_state
+        cfg_full = dataclasses.replace(CFG, verify_batch=None,
+                                       confidence_threshold=0.2)
+        cfg_b4 = dataclasses.replace(cfg_full, verify_batch=4)
+        cfg_b3 = dataclasses.replace(cfg_full, verify_batch=3)  # non-divisor
+
+        run = jax.jit(run_search, static_argnums=2)
+        finals = {}
+        for name, cfg in (("full", cfg_full), ("b4", cfg_b4), ("b3", cfg_b3)):
+            scorer_cfg = dataclasses.replace(scorer, config=cfg)
+            final, secs = run(state, scorer_cfg, cfg)
+            finals[name] = (final, np.asarray(secs))
+        for name in ("b4", "b3"):
+            np.testing.assert_array_equal(finals["full"][1], finals[name][1])
+            np.testing.assert_array_equal(
+                np.asarray(finals["full"][0].remaining),
+                np.asarray(finals[name][0].remaining),
+            )
+            np.testing.assert_allclose(
+                np.asarray(finals["full"][0].scores),
+                np.asarray(finals[name][0].scores),
+                atol=1e-6,
+            )
+            assert int(finals["full"][0].iteration) == int(finals[name][0].iteration)

@@ -33,25 +33,23 @@ def resolve_pallas_preprocess(
 ) -> SearchConfig:
     """Resolve ``use_pallas_preprocess=None`` (auto) to a concrete bool.
 
-    Auto turns the fused Pallas grid builder ON when running on TPU with a
-    tile-aligned cache (uint8 DMA slices: height % 32 == 0, width*3 % 128 ==
-    0 — see CLAUDE.md) in the single-video path; the vmapped multi-video
-    batch keeps the XLA builder (pallas_call batching under vmap is not
-    exercised on the remote-compile relay).  An explicit True/False always
-    wins.
+    Auto resolves to False: measured on a v5e (bench.py extra
+    ``b1_frames_per_sec``, r2: XLA 679 vs Pallas 604 f/s end-to-end), the
+    fused Pallas grid builder is SLOWER than the XLA gather+matmul-resize
+    path — preprocessing is <1% of step FLOPs and the kernel's per-row
+    DMA/matmul pipeline adds ~2.5 ms/step that XLA's fusion doesn't pay.
+    The kernel stays available (bit-exact-tested) via an explicit
+    ``use_pallas_preprocess=True`` for aligned caches on TPU.
     """
     import dataclasses
 
     if config.use_pallas_preprocess is not None:
+        if config.use_pallas_preprocess and batched:
+            # pallas_call batching under vmap is not exercised on the
+            # remote-compile relay; fall back in the multi-video path.
+            return dataclasses.replace(config, use_pallas_preprocess=False)
         return config
-    ch, cw = int(cache_shape[-3]), int(cache_shape[-2])
-    on = (
-        not batched
-        and jax.default_backend() == "tpu"
-        and ch % 32 == 0
-        and (cw * 3) % 128 == 0
-    )
-    return dataclasses.replace(config, use_pallas_preprocess=on)
+    return dataclasses.replace(config, use_pallas_preprocess=False)
 
 
 @struct.dataclass
@@ -135,9 +133,27 @@ class OwlVitScorer:
         return conf, presence, dets
 
     def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        cfg = self.config
         size = self.model.cfg.vision.image_size
         pixels = build_verify_batch(self.cache, secs, size, dtype=self.model.dtype)
+        return self._score_verify_pixels(pixels)
+
+    def score_verify_raw(self, frames: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """Verification rescore from caller-supplied RAW frames (K, h, w, 3)
+        uint8 — the reference's fidelity path, which re-decodes the source
+        frame at 600x285 instead of reading the HBM cache
+        (interface_searcher.py:401-405).  Used by search/reference_verify.py
+        and the verification A/B harness."""
+        from tstar_tpu.kernels.image import bilinear_resize, normalize_clip
+
+        size = self.model.cfg.vision.image_size
+        pixels = normalize_clip(
+            bilinear_resize(frames, (size, size)), self.model.dtype
+        )
+        return self._score_verify_pixels(pixels)
+
+    def _score_verify_pixels(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        cfg = self.config
+        size = self.model.cfg.vision.image_size
         scores, class_ids, boxes = self._detect(pixels)
         keep = scores > cfg.detector_threshold
 

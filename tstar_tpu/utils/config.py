@@ -49,6 +49,13 @@ class SearchConfig:
     cue_weight: float = 0.5
     detector_threshold: float = 0.005  # OWL-ViT post-process score threshold
 
+    # Verification rescore batch (ours; semantics-preserving optimization).
+    # None = rescore all K sampled frames in one forward whenever any frame
+    # triggers (reference-shaped worst case).  A small int T rescores only
+    # the candidate frames, T at a time — typically 1 round of T instead of
+    # K full-resolution forwards once detections are sparse/localized.
+    verify_batch: Optional[int] = 4
+
     # --- fixed-shape padding (TPU: everything static) ---
     max_objects: int = 16             # targets + cues + padding prompt, padded
     max_targets: int = 8              # remaining-target mask length, padded
