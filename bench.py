@@ -236,6 +236,45 @@ def main():
     if peak:
         extra["mfu_b1_no_verify"] = round(f_fwd * iters / t_nv / peak, 4)
 
+    # batched no-verify at B=8: at ~19% MFU the B=1 grid forward leaves MXU
+    # headroom, so THIS is where batching pays (the realistic sparse regime).
+    B = 8
+    scorers_nv = [
+        make_owlvit_scorer(
+            model, variables,
+            jnp.asarray(rng.integers(0, 256, (n_pad, *cfg.cache_hw, 3),
+                                     dtype=np.uint8)),
+            ["target"], ["cue one", "cue two"], tok, cfg_nv,
+        )
+        for _ in range(B)
+    ]
+    bsc_nv = OwlVitScorer(
+        cache=jnp.stack([s.cache for s in scorers_nv]),
+        variables=variables,
+        query_embeds=jnp.stack([s.query_embeds for s in scorers_nv]),
+        query_mask=jnp.stack([s.query_mask for s in scorers_nv]),
+        class_weights=jnp.stack([s.class_weights for s in scorers_nv]),
+        model=model,
+        config=cfg_nv,
+    )
+    stacked_nv = jax.tree_util.tree_map(
+        lambda *xs: jnp.stack(xs),
+        *[init_state(n_valid, 1, cfg_nv, jax.random.key(200 + i), n_pad=n_pad)
+          for i in range(B)],
+    )
+
+    def run_nv_b8():
+        finals, secs = run_search_batched_chained(
+            stacked_nv, bsc_nv, cfg_nv, max_iterations=iters
+        )
+        np.asarray(secs)
+
+    run_nv_b8()
+    t_nv8 = time_best_of(run_nv_b8)
+    extra["b8_frames_per_sec_no_verify"] = round(B * frames_scored / t_nv8, 2)
+    if peak:
+        extra["mfu_b8_no_verify"] = round(B * f_fwd * iters / t_nv8 / peak, 4)
+
     ours_fps = best_fps
 
     # --- reference-style baseline: same weights, same chip, host loop ---

@@ -114,3 +114,29 @@ class TestRegistry:
 
         with pytest.raises(ValueError, match="owl-vit-random"):
             initialize_heuristic("owl-vit")
+
+
+class TestCompatSurface:
+    def test_reference_detector_surface(self, tmp_path):
+        """reparameterize_object_list / inference_detector / inference /
+        bbox_visualization parity shape-check (interface_heuristic.py:78-190)."""
+        import numpy as np
+        from PIL import Image
+
+        h = initialize_heuristic("yolo-world-random", size="small")
+        h.reparameterize_object_list(["couch"], ["tv"])
+        assert h.texts == [["couch"], ["tv"], [" "]]
+        rng = np.random.default_rng(0)
+        img = rng.integers(0, 256, (120, 200, 3), dtype=np.uint8)
+        dets = h.inference_detector([img, img], score_threshold=0.05)
+        assert len(dets) == 2 and h.detections_inbatch is dets
+        for d in dets:
+            assert set(d) == {"xyxy", "confidence", "class_id"}
+            if len(d["xyxy"]):
+                assert d["xyxy"][:, 2].max() <= 200 + 1e-3  # image coords
+        annotated = h.bbox_visualization([img, img], dets)
+        assert annotated[0].shape == img.shape
+        p = tmp_path / "img.png"
+        Image.fromarray(img).save(p)
+        d = h.inference(str(p), score_threshold=0.05)
+        assert set(d) == {"xyxy", "confidence", "class_id"}

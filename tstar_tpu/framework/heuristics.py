@@ -388,3 +388,92 @@ class YoloWorldHeuristic:
             model=self.model,
             config=config,
         )
+
+    # -- reference-compatible detector surface (interface_heuristic.py) ----
+    texts: list = []
+
+    def reparameterize_object_list(self, target_objects, cue_objects):
+        """Set the text prompts (interface_heuristic.py:78-93)."""
+        combined = list(target_objects) + list(cue_objects)
+        self.texts = [[obj.strip()] for obj in combined] + [[" "]]
+
+    def _encode_texts(self):
+        import jax.numpy as jnp
+
+        if not getattr(self, "texts", None):
+            raise RuntimeError("call reparameterize_object_list first")
+        ids, mask = self.tokenizer.encode_batch([t[0] for t in self.texts])
+        return self.text_model.apply(
+            self.text_variables, jnp.asarray(ids), jnp.asarray(mask)
+        )
+
+    def inference_detector(self, images, score_threshold: float = 0.12,
+                           max_dets: int = 50, **kw):
+        """Batch detection -> list of {"xyxy", "confidence", "class_id"}
+        (reference search-path defaults: threshold 0.12, max 50,
+        interface_heuristic.py:136-168)."""
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tstar_tpu.kernels.image import bilinear_resize
+        from tstar_tpu.models.yoloworld import postprocess_yolo
+
+        text_embeds = self._encode_texts()
+        size = self.model.cfg.image_size
+        out = []
+        for image in images:
+            image = np.asarray(image)
+            px = (bilinear_resize(jnp.asarray(image), (size, size)) / 255.0)[None]
+            logits, boxes = self.model.apply(
+                self.variables, px.astype(self.model.dtype), text_embeds
+            )
+            scores, cls, xyxy, keep = postprocess_yolo(
+                logits, boxes, None, score_threshold=score_threshold,
+                nms_iou=self.model.cfg.nms_iou, max_dets=max_dets,
+            )
+            k = np.asarray(keep[0])
+            # detector coords are on the size x size canvas; map back and
+            # clip to the image (mmdet clamps boxes in _bbox_post_process)
+            h, w = image.shape[:2]
+            scale = np.asarray([w / size, h / size, w / size, h / size])
+            boxes_img = np.clip(
+                np.asarray(xyxy[0])[k] * scale,
+                0.0, np.asarray([w, h, w, h], np.float64),
+            )
+            out.append({
+                "xyxy": boxes_img,
+                "confidence": np.asarray(scores[0])[k],
+                "class_id": np.asarray(cls[0])[k],
+            })
+        self.detections_inbatch = out
+        return out
+
+    def inference(self, image_path: str, score_threshold: float = 0.3,
+                  max_dets: int = 100, **kw):
+        """Path-based single-image detection (reference defaults 0.3/100,
+        interface_heuristic.py:96-134)."""
+        import numpy as np
+        from PIL import Image
+
+        with Image.open(image_path) as im:
+            image = np.asarray(im.convert("RGB"))
+        return self.inference_detector(
+            [image], score_threshold=score_threshold, max_dets=max_dets
+        )[0]
+
+    def bbox_visualization(self, images, detections_inbatch):
+        """Annotated copies of the images (interface_heuristic.py:170-190)."""
+        from tstar_tpu.viz.boxes import draw_boxes
+
+        out = []
+        for image, det in zip(images, detections_inbatch):
+            labels = [
+                f"{self.texts[c][0]} {s:.2f}"
+                for c, s in zip(det["class_id"], det["confidence"])
+                if c < len(self.texts)
+            ]
+            out.append(
+                draw_boxes(image, det["xyxy"], labels=labels,
+                           class_ids=det["class_id"])
+            )
+        return out

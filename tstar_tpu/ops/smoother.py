@@ -35,11 +35,17 @@ import jax
 import jax.numpy as jnp
 
 # log10(lam) sweep bounds: lam below 1e-5 is numerically an interpolant, above
-# 1e5 a straight line for score-scale data; two nested sweeps give ~0.08
-# decade resolution which is far below the downstream sensitivity.
+# 1e5 a straight line for score-scale data.  ONE dense sweep at ~0.07 decade
+# resolution (the lam axis is a cheap VPU batch dimension; the EXPENSIVE
+# direction is the sequential scan over N, so one dense sweep beats two
+# nested coarse/fine sweeps 2x in latency at equal resolution).
 _LOG_LAM_LO = -5.0
 _LOG_LAM_HI = 5.0
-_SWEEP = 13  # lam values per sweep
+_SWEEP = 145  # lam values in the single dense sweep (resolution 10/144 dec)
+
+# The scans are latency-bound (tiny elementwise bodies over the lam batch);
+# unrolling trades a little code size for ~UNROLL x fewer sequential steps.
+_UNROLL = 16
 
 
 def _penta_diagonals(n_pad: int, n_valid: jax.Array, dtype) -> Tuple[jax.Array, ...]:
@@ -90,7 +96,9 @@ def _penta_solve_batch(
 
     ones = jnp.ones((batch,), b.dtype)
     init = (ones, ones, zeros, zeros, zeros)
-    _, (D, e, f, z) = jax.lax.scan(fwd, init, (d0, d1_im1, d2_im2, b))
+    _, (D, e, f, z) = jax.lax.scan(
+        fwd, init, (d0, d1_im1, d2_im2, b), unroll=_UNROLL
+    )
 
     w = z / D
     e_ip1 = jnp.concatenate([e[1:], zeros[None]], axis=0)
@@ -102,7 +110,9 @@ def _penta_solve_batch(
         x = wi - ei * x1 - fi * x2
         return (x, x1), x
 
-    _, x_rev = jax.lax.scan(bwd, (zeros, zeros), (w[::-1], e_ip1[::-1], f_ip2[::-1]))
+    _, x_rev = jax.lax.scan(
+        bwd, (zeros, zeros), (w[::-1], e_ip1[::-1], f_ip2[::-1]), unroll=_UNROLL
+    )
     return x_rev[::-1]
 
 
@@ -145,16 +155,10 @@ def fit_smoother(
         idx = jnp.where(jnp.any(ok), jnp.max(jnp.where(ok, jnp.arange(len(log_lams)), -1)), 0)
         return log_lams[idx], xs[idx], idx
 
-    coarse = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _SWEEP)
-    xs, resids = _sweep(y, weights, pent, coarse)
-    best_log, _, idx = pick(coarse, xs, resids)
-
-    step = (coarse[1] - coarse[0])
-    hi = jnp.minimum(best_log + step, _LOG_LAM_HI)
-    fine = best_log + (hi - best_log) * jnp.linspace(0.0, 1.0, _SWEEP)
-    xs2, resids2 = _sweep(y, weights, pent, fine)
-    best_log2, x_best, _ = pick(fine, xs2, resids2)
-    return x_best, best_log2
+    grid = jnp.linspace(_LOG_LAM_LO, _LOG_LAM_HI, _SWEEP)
+    xs, resids = _sweep(y, weights, pent, grid)
+    best_log, x_best, _ = pick(grid, xs, resids)
+    return x_best, best_log
 
 
 def smoothing_spline_distribution(
