@@ -166,3 +166,46 @@ class TestSearchVideos:
                 initialize_heuristic("color-probe"),
                 cfg,
             )
+
+
+class TestYoloBatched:
+    def test_batched_search_with_yolo_backend(self, videos):
+        """Batched multi-video search also runs with the YOLO-World backend
+        (shared detector weights, per-video text embeddings)."""
+        from tstar_tpu.framework.heuristics import YoloWorldHeuristic
+        from tstar_tpu.models.yoloworld import YoloWorldConfig, YoloWorldDetector
+        from tstar_tpu.models.owlvit import TextConfig
+        from tstar_tpu.models.yoloworld import YoloTextEncoder
+        from tstar_tpu.models.clip_tokenizer import HashTokenizer
+        import jax
+
+        h = YoloWorldHeuristic.__new__(YoloWorldHeuristic)
+        h.name = "yolo-world-tiny"
+        tiny = YoloWorldConfig(
+            widths=(8, 16, 32, 64, 64), depths=(1, 1, 1, 1), neck_depth=1,
+            neck_embed=(16, 32, 32), neck_heads=(2, 4, 4),
+            text_dim=24, reg_max=4, image_size=64,
+        )
+        h.model = YoloWorldDetector(tiny, dtype=jnp.float32)
+        h.variables = h.model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((2, 24))
+        )
+        tc = TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
+                        num_heads=4, intermediate_size=48, max_length=8)
+        h.text_model = YoloTextEncoder(tc, projection_dim=24, dtype=jnp.float32)
+        h.text_variables = h.text_model.init(
+            jax.random.key(1), jnp.zeros((2, 8), jnp.int32),
+            jnp.ones((2, 8), jnp.int32),
+        )
+        h.tokenizer = HashTokenizer(vocab_size=100, context=8)
+
+        cfg = SearchConfig(search_budget=0.25, cache_hw=(32, 64))
+        tasks = [
+            VideoTask(videos[0], ["couch"], ["tv"], seed=0),
+            VideoTask(videos[1], ["couch"], ["lamp"], seed=1),
+        ]
+        results = search_videos(tasks, h, cfg)
+        assert len(results) == 2
+        for r, dur in zip(results, [40, 70]):
+            assert len(r["keyframe_timestamps"]) == cfg.search_nframes
+            assert max(r["keyframe_secs"]) < dur

@@ -20,21 +20,45 @@ from tstar_tpu.search.engine import pop_frame_secs, search_step
 from tstar_tpu.search.state import SearchState
 from tstar_tpu.utils.config import SearchConfig
 
+# Per-video (stacked, vmap axis 0) fields of each detector scorer class;
+# everything else — detector weights — is shared across the video batch.
+_PER_VIDEO_FIELDS = {
+    "OwlVitScorer": ("cache", "query_embeds", "query_mask", "class_weights"),
+    "YoloWorldScorer": ("cache", "text_embeds", "query_mask", "class_weights"),
+}
+
 
 def scorer_batch_axes(scorer):
     """vmap in_axes spec: per-video leaves batch on axis 0; model weights are
     shared (axis None) for detector scorers; table scorers batch everywhere."""
-    if isinstance(scorer, OwlVitScorer):
-        return OwlVitScorer(
-            cache=0,
-            variables=None,
-            query_embeds=0,
-            query_mask=0,
-            class_weights=0,
-            model=scorer.model,
-            config=scorer.config,
+    fields = _PER_VIDEO_FIELDS.get(type(scorer).__name__)
+    if fields is None:
+        return 0
+    import dataclasses
+
+    kw = {f: 0 for f in fields}
+    kw["variables"] = None
+    return dataclasses.replace(scorer, **kw)
+
+
+def stack_scorers(scorers, config: SearchConfig):
+    """Stack per-video scorers into one batched scorer (shared weights).
+
+    Supports both detector scorer classes (OwlVitScorer, YoloWorldScorer):
+    per-video fields stack on a leading video axis; ``variables`` (and the
+    static model/config) are shared.
+    """
+    import dataclasses
+
+    s0 = scorers[0]
+    fields = _PER_VIDEO_FIELDS.get(type(s0).__name__)
+    if fields is None:
+        raise TypeError(
+            f"batched search requires an OwlVitScorer- or YoloWorldScorer-"
+            f"shaped backend, got {type(s0).__name__}"
         )
-    return 0
+    kw = {f: jnp.stack([getattr(s, f) for s in scorers]) for f in fields}
+    return dataclasses.replace(s0, config=config, **kw)
 
 
 def _active(states: SearchState) -> jax.Array:

@@ -27,12 +27,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tstar_tpu.parallel.batched import run_search_batched_chained
-from tstar_tpu.parallel.mesh import DATA_AXIS
-from tstar_tpu.search.detector_scorer import (
-    OwlVitScorer,
-    resolve_pallas_preprocess,
+from tstar_tpu.parallel.batched import (
+    _PER_VIDEO_FIELDS as PER_VIDEO_FIELDS,
+    run_search_batched_chained,
+    stack_scorers,
 )
+from tstar_tpu.parallel.mesh import DATA_AXIS
+from tstar_tpu.search.detector_scorer import resolve_pallas_preprocess
 from tstar_tpu.search.state import init_state
 from tstar_tpu.utils.config import SearchConfig
 from tstar_tpu.video.cache import build_frame_cache_host, probe_video_length
@@ -62,13 +63,12 @@ def _bucket_indices(
 
 def _search_bucket(
     tasks: Sequence[VideoTask],
-    host_caches,
+    caches,
     heuristic,
     config: SearchConfig,
     mesh,
 ) -> List[Dict]:
     """Stack one equal-length bucket and run it to completion on device."""
-    caches = [hc.to_device() for hc in host_caches]
     n_pad = max(c.n_pad for c in caches)
 
     scorers, states = [], []
@@ -81,11 +81,6 @@ def _search_bucket(
         scorer = heuristic.build_scorer(
             frames, task.target_objects, task.cue_objects, config
         )
-        if not isinstance(scorer, OwlVitScorer):
-            raise TypeError(
-                f"batched search requires an OwlVitScorer-shaped backend, got "
-                f"{type(scorer).__name__}"
-            )
         scorers.append(scorer)
         states.append(
             init_state(
@@ -97,15 +92,9 @@ def _search_bucket(
     batched_config = resolve_pallas_preprocess(
         config, caches[0].frames.shape, batched=True
     )
-    batched_scorer = OwlVitScorer(
-        cache=jnp.stack([s.cache for s in scorers]),
-        variables=scorers[0].variables,           # shared weights
-        query_embeds=jnp.stack([s.query_embeds for s in scorers]),
-        query_mask=jnp.stack([s.query_mask for s in scorers]),
-        class_weights=jnp.stack([s.class_weights for s in scorers]),
-        model=scorers[0].model,
-        config=batched_config,
-    )
+    # raises TypeError for table-backed scorers (OwlVitScorer/YoloWorldScorer
+    # are the batched-search detector backends)
+    batched_scorer = stack_scorers(scorers, batched_config)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
 
     if mesh is not None:
@@ -117,13 +106,11 @@ def _search_bucket(
             )
 
         stacked = jax.tree_util.tree_map(dp_put, stacked)
-        batched_scorer = dataclasses.replace(
-            batched_scorer,
-            cache=dp_put(batched_scorer.cache),
-            query_embeds=dp_put(batched_scorer.query_embeds),
-            query_mask=dp_put(batched_scorer.query_mask),
-            class_weights=dp_put(batched_scorer.class_weights),
-        )
+        per_video = {
+            f: dp_put(getattr(batched_scorer, f))
+            for f in PER_VIDEO_FIELDS[type(batched_scorer).__name__]
+        }
+        batched_scorer = dataclasses.replace(batched_scorer, **per_video)
 
     max_iters = max(config.iteration_cap(c.n_valid) for c in caches)
     finals, secs = run_search_batched_chained(
@@ -160,13 +147,17 @@ def search_videos(
     mesh=None,
     bucket_by_length: bool = True,
     decode_workers: int = 2,
+    prefetch: bool = True,
 ) -> List[Dict]:
     """Search all videos to completion in batched on-device loops.
 
-    The heuristic must produce ``OwlVitScorer``-shaped scorers (shared
-    detector weights; per-video caches/prompts).  Videos are grouped into
+    The heuristic must produce detector scorers (``OwlVitScorer`` or
+    ``YoloWorldScorer``: shared weights; per-video caches/prompts/text
+    embeddings).  Videos are grouped into
     equal-padded-length buckets (no pad-to-longest blowup) and the next
-    bucket's decode overlaps the current bucket's device search.  Returns
+    bucket's decode AND host->HBM upload run on worker threads while the
+    device searches the current bucket (``prefetch=False`` processes
+    buckets strictly serially — the ablation baseline).  Returns
     one dict per video, in task order:
     {"keyframe_timestamps", "keyframe_secs", "keyframe_distribution",
      "remaining_targets", "iterations"}.
@@ -181,6 +172,12 @@ def search_videos(
             [n_pads[b[0]] for b in buckets],
         )
 
+    def build_device_cache(path: str):
+        # decode + device_put together so BOTH overlap the previous bucket's
+        # search (through the remote attachment the upload can cost more
+        # than the decode)
+        return build_frame_cache_host(path, config).to_device()
+
     results: List[Optional[Dict]] = [None] * len(tasks)
     with ThreadPoolExecutor(max_workers=max(1, decode_workers)) as pool:
         futures = {}
@@ -189,18 +186,18 @@ def search_videos(
             for i in bucket:
                 if i not in futures:
                     futures[i] = pool.submit(
-                        build_frame_cache_host, tasks[i].video_path, config
+                        build_device_cache, tasks[i].video_path
                     )
 
-        submit(buckets[0])
         for b, bucket in enumerate(buckets):
-            # Overlap: queue the NEXT bucket's decode before blocking on this
-            # bucket's caches / launching its device search.
-            if b + 1 < len(buckets):
+            submit(bucket)
+            # Overlap: queue the NEXT bucket's decode+upload before blocking
+            # on this bucket's caches / launching its device search.
+            if prefetch and b + 1 < len(buckets):
                 submit(buckets[b + 1])
-            host_caches = [futures.pop(i).result() for i in bucket]
+            caches = [futures.pop(i).result() for i in bucket]
             out = _search_bucket(
-                [tasks[i] for i in bucket], host_caches, heuristic, config, mesh
+                [tasks[i] for i in bucket], caches, heuristic, config, mesh
             )
             for i, r in zip(bucket, out):
                 results[i] = r
