@@ -218,8 +218,13 @@ def main():
     # detector_threshold 10 empties the keep mask -> no presence -> the
     # verify branch is skipped: pure grid-scoring throughput (the realistic
     # regime with real weights on frames without the target).
+    # verify_batch=4 here is the PRODUCTION default and it matters doubly in
+    # the batched path: vmap turns lax.cond into a select (both branches
+    # execute), so the rescore-all form pays full verification even when
+    # nothing triggers — the bucketed form's while_loop runs zero rounds.
     cfg_nv = dataclasses.replace(
-        cfg, detector_threshold=10.0, use_pallas_preprocess=False
+        cfg, detector_threshold=10.0, use_pallas_preprocess=False,
+        verify_batch=4,
     )
     scorer_nv = make_owlvit_scorer(
         model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg_nv

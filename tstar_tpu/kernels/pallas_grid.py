@@ -18,7 +18,14 @@ chain into one pass with no HBM intermediates:
 
 Numerical parity with the XLA path is tested in interpret mode
 (tests/test_pallas_grid.py); select it with
-``SearchConfig.use_pallas_preprocess``.
+``SearchConfig.use_pallas_preprocess=True``.
+
+MEASURED (r2, v5e, honest host-fetch fences): the kernel is SLOWER than
+XLA's fused gather+matmul-resize end-to-end (604 vs 678 frames/s on the
+worst-case search) — preprocessing is <1% of step FLOPs, and the per-row
+DMA/matmul pipeline costs ~2.5 ms/step that XLA doesn't pay.  It therefore
+defaults OFF (detector_scorer.resolve_pallas_preprocess) and is kept as a
+working scalar-prefetch-DMA exemplar for ops where fusion actually wins.
 """
 
 from __future__ import annotations
