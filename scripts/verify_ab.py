@@ -67,10 +67,13 @@ def main():
                         n_pad=cache.n_pad)
 
         fa, sa = run_search_chained(s0, scorer, cfg)
-        fb, sb, decisions = run_search_reference_verify(
-            s0, scorer, cfg, make_raw_frame_source(path, cfg),
-            collect_decisions=True,
-        )
+        source = make_raw_frame_source(path, cfg)
+        try:
+            fb, sb, decisions = run_search_reference_verify(
+                s0, scorer, cfg, source, collect_decisions=True
+            )
+        finally:
+            source.close()
         ka, kb = set(np.asarray(sa).tolist()), set(np.asarray(sb).tolist())
         rows.append({
             "video": f"v{i}",

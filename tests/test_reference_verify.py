@@ -93,9 +93,12 @@ class TestReplayEquivalence:
         source = make_raw_frame_source(path, cfg)
         s0 = init_state(cache.n_valid, 1, cfg, jax.random.key(7),
                         n_pad=cache.n_pad)
-        final, secs, decisions = run_search_reference_verify(
-            s0, scorer, cfg, source, collect_decisions=True
-        )
+        try:
+            final, secs, decisions = run_search_reference_verify(
+                s0, scorer, cfg, source, collect_decisions=True
+            )
+        finally:
+            source.close()
         assert len(np.asarray(secs)) == cfg.search_nframes
         assert int(final.iteration) >= 1
         for d in decisions:

@@ -305,7 +305,7 @@ TINY_EMBED = YoloWorldConfig(
 )
 
 
-def _tiny_text_model():
+def _tiny_text_model(max_positions: int = 16):
     from transformers import CLIPTextConfig, CLIPTextModelWithProjection
 
     # Real CLIP's EOT token is the highest vocab id (49407); our TextTower
@@ -313,7 +313,7 @@ def _tiny_text_model():
     cfg = CLIPTextConfig(
         vocab_size=64, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=4,
-        max_position_embeddings=16, projection_dim=32,
+        max_position_embeddings=max_positions, projection_dim=32,
         bos_token_id=62, eos_token_id=63,
     )
     torch.manual_seed(3)
@@ -422,6 +422,21 @@ class TestStructuralChecks:
 
 
 class TestCheckpointDirLoading:
+    def test_real_clip_position_length_validates(self):
+        """Real CLIP text towers have 77 position embeddings; the inferred
+        TextConfig.max_length must match the checkpoint (regression: a
+        hardcoded 16 made every real-checkpoint load fail shape
+        validation)."""
+        from tstar_tpu.models.yolo_loader import _infer_text_config
+
+        top = _build_replica(TINY, _tiny_text_model(max_positions=77))
+        variables, text_variables = convert_mmyolo_yolo_world_state_dict(
+            top.state_dict(), TINY
+        )
+        text_cfg = _infer_text_config(text_variables)
+        assert text_cfg.max_length == 77
+        validate_converted_shapes(TINY, text_cfg, variables, text_variables)
+
     def test_pth_plus_tokenizer_dir(self, tmp_path):
         from tstar_tpu.models.yolo_loader import load_yolo_world_checkpoint
 

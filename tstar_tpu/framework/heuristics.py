@@ -300,7 +300,7 @@ def initialize_heuristic(
     raise NotImplementedError(f"Heuristic type '{heuristic_type}' is not implemented.")
 
 
-class YoloWorldHeuristic:
+class YoloWorldHeuristic(_DetectorCompatMixin):
     """YOLO-World v2 backend (reference TStarFramework.py:180-185).
 
     ``checkpoint_dir`` may contain either
@@ -389,14 +389,9 @@ class YoloWorldHeuristic:
             config=config,
         )
 
-    # -- reference-compatible detector surface (interface_heuristic.py) ----
-    texts: list = []
-
-    def reparameterize_object_list(self, target_objects, cue_objects):
-        """Set the text prompts (interface_heuristic.py:78-93)."""
-        combined = list(target_objects) + list(cue_objects)
-        self.texts = [[obj.strip()] for obj in combined] + [[" "]]
-
+    # -- reference-compatible detector surface: reparameterize_object_list
+    # and bbox_visualization come from _DetectorCompatMixin; only the
+    # detection forward differs from the OWL backend. ----------------------
     def _encode_texts(self):
         import jax.numpy as jnp
 
@@ -460,20 +455,3 @@ class YoloWorldHeuristic:
         return self.inference_detector(
             [image], score_threshold=score_threshold, max_dets=max_dets
         )[0]
-
-    def bbox_visualization(self, images, detections_inbatch):
-        """Annotated copies of the images (interface_heuristic.py:170-190)."""
-        from tstar_tpu.viz.boxes import draw_boxes
-
-        out = []
-        for image, det in zip(images, detections_inbatch):
-            labels = [
-                f"{self.texts[c][0]} {s:.2f}"
-                for c, s in zip(det["class_id"], det["confidence"])
-                if c < len(self.texts)
-            ]
-            out.append(
-                draw_boxes(image, det["xyxy"], labels=labels,
-                           class_ids=det["class_id"])
-            )
-        return out

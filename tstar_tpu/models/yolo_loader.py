@@ -256,10 +256,6 @@ def convert_mmyolo_yolo_world_state_dict(
 
 def _assert_tree_matches(converted: Dict, shape_tree: Dict, what: str):
     """Converted tree must match the model's eval_shape init leaf-for-leaf."""
-    conv_flat = {
-        "/".join(map(str, k)): np.asarray(v).shape
-        for k, v in jax.tree_util.tree_flatten_with_path(converted)[0]
-    }
 
     def keyname(path):
         return "/".join(
@@ -303,14 +299,9 @@ def validate_converted_shapes(cfg, text_cfg, variables, text_variables):
     _assert_tree_matches(variables, det_shapes, "detector")
     tenc = YoloTextEncoder(text_cfg, projection_dim=cfg.text_dim)
     # position_embedding length comes from the checkpoint (77 for CLIP);
-    # the tower slices [:seq], so validate against the checkpoint's length.
-    seq = int(
-        np.asarray(
-            text_variables["params"]["text"]["position_embedding"]
-        ).shape[0]
-    )
-    import dataclasses as _dc
-
+    # text_cfg.max_length must equal it (see _infer_text_config) so the
+    # init'd param shape matches the converted tensor.
+    seq = text_cfg.max_length
     text_shapes = jax.eval_shape(
         tenc.init,
         jax.random.key(0),
@@ -325,7 +316,9 @@ def _infer_text_config(text_variables):
 
     Head count is not recoverable from fused projection weights; CLIP-family
     towers use 64-dim heads (CLIP-base: 512 hidden -> 8 heads), so infer
-    hidden // 64 (floored at 1 for tiny test towers)."""
+    hidden // 64 (floored at 1 for tiny test towers).  max_length comes from
+    the checkpoint's position embedding (77 for real CLIP) — the TextTower
+    param shape must match the converted tensor."""
     from tstar_tpu.models.owlvit import TextConfig
 
     t = text_variables["params"]["text"]
@@ -338,7 +331,7 @@ def _infer_text_config(text_variables):
         intermediate_size=int(
             np.asarray(t["encoder"]["layers_0"]["mlp"]["fc1"]["kernel"]).shape[1]
         ),
-        max_length=16,
+        max_length=int(np.asarray(t["position_embedding"]).shape[0]),
     )
 
 

@@ -89,9 +89,7 @@ def _search_bucket(
             )
         )
 
-    batched_config = resolve_pallas_preprocess(
-        config, caches[0].frames.shape, batched=True
-    )
+    batched_config = resolve_pallas_preprocess(config, batched=True)
     # raises TypeError for table-backed scorers (OwlVitScorer/YoloWorldScorer
     # are the batched-search detector backends)
     batched_scorer = stack_scorers(scorers, batched_config)

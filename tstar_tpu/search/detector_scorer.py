@@ -29,7 +29,7 @@ from tstar_tpu.utils.config import SearchConfig
 
 
 def resolve_pallas_preprocess(
-    config: SearchConfig, cache_shape, batched: bool = False
+    config: SearchConfig, batched: bool = False
 ) -> SearchConfig:
     """Resolve ``use_pallas_preprocess=None`` (auto) to a concrete bool.
 
@@ -229,7 +229,7 @@ def make_owlvit_scorer(
     ``config.max_objects`` so shapes stay static.  Target slot t of the
     engine's remaining-mask corresponds to class slot t here.
     """
-    config = resolve_pallas_preprocess(config, cache.shape)
+    config = resolve_pallas_preprocess(config)
     ids_pad, mask_pad, weights = build_prompt_batch(
         target_objects, cue_objects, tokenizer, config
     )

@@ -41,7 +41,10 @@ def make_raw_frame_source(
 ) -> Callable[[List[int]], np.ndarray]:
     """Frame source decoding RAW source frames resized to config.verify_hw
     (the reference chain: decord re-decode + cv2.resize (600, 285),
-    interface_searcher.py:401-403)."""
+    interface_searcher.py:401-403).
+
+    The returned callable owns an open decoder; call ``source.close()``
+    (or use ``contextlib.closing``) when done to release it."""
     import cv2
 
     from tstar_tpu.video.decoder import open_video
@@ -57,6 +60,7 @@ def make_raw_frame_source(
             [cv2.resize(f, (w, h), interpolation=cv2.INTER_LINEAR) for f in frames]
         )
 
+    source.close = dec.close
     return source
 
 

@@ -73,9 +73,11 @@ class SearchConfig:
     # --- engine behaviour (ours) ---
     deterministic_pop: bool = False   # True: top-k keyframes instead of sampled
     max_iterations: Optional[int] = None  # override; default derived from budget
-    # Fused Pallas grid builder (kernels/pallas_grid.py).  None = auto: on for
-    # TPU single-video scorers with a tile-aligned cache (height % 32 == 0,
-    # width*3 % 128 == 0), off elsewhere (CPU, vmapped multi-video batch).
+    # Fused Pallas grid builder (kernels/pallas_grid.py).  None (default)
+    # resolves to OFF: measured slower than XLA's gather+matmul path end-to-
+    # end (604 vs 678 f/s, r2 v5e — see the kernel docstring).  Set True
+    # explicitly to use it on TPU with a tile-aligned cache (height % 32,
+    # width*3 % 128); the batched multi-video path always falls back to XLA.
     use_pallas_preprocess: Optional[bool] = None
 
     @property
