@@ -304,16 +304,21 @@ def main():
     jax.block_until_ready(
         detector_forward(jnp.zeros((1, size, size, 3), jnp.bfloat16))
     )
-    base_frames, base_t = reference_style_search(
-        detector_forward,
-        cache_np,
-        n_valid,
-        np.asarray(scorer0.class_weights),
-        n_targets=1,
-        config=cfg,
-        detector_size=size,
-    )
-    base_fps = base_frames / base_t
+    # best-of-3: the baseline's per-iteration host round-trips make it very
+    # sensitive to tunnel contention (20-40 f/s run-to-run); the best run is
+    # the fairest (least-contended) baseline and stabilizes vs_baseline.
+    base_fps = 0.0
+    for _ in range(3):
+        base_frames, base_t = reference_style_search(
+            detector_forward,
+            cache_np,
+            n_valid,
+            np.asarray(scorer0.class_weights),
+            n_targets=1,
+            config=cfg,
+            detector_size=size,
+        )
+        base_fps = max(base_fps, base_frames / base_t)
     extra["reference_style_frames_per_sec"] = round(base_fps, 2)
 
     print(json.dumps({
