@@ -30,7 +30,16 @@ ACTIVATIONS: dict[str, Callable] = {
 
 
 class MultiHeadAttention(nn.Module):
-    """Standard multi-head attention with combined-projection einsums."""
+    """Standard multi-head attention.
+
+    The core runs through ``jax.nn.dot_product_attention`` so XLA can pick
+    its fused attention lowering.  Measured r2 on a v5e: 2.8x faster than a
+    hand-written einsum/softmax stack in isolation (23.2 vs 64.1 ms,
+    12-layer 16x577x768 bf16), NEUTRAL inside the full search step (the
+    production graph already fused well) — kept for the isolated win on
+    larger VLM prefill shapes and for simplicity.  Same math: scale
+    1/sqrt(head_dim), f32 softmax, additive bias; parity tests unchanged.
+    """
 
     num_heads: int
     dtype: jnp.dtype = jnp.float32
@@ -54,12 +63,12 @@ class MultiHeadAttention(nn.Module):
             return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
 
         q, k, v = split(q), split(k), split(v)
-        scale = head_dim ** -0.5
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q * scale, k)
         if attn_bias is not None:
-            logits = logits + attn_bias.astype(logits.dtype)
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+            b, s = x.shape[0], x.shape[1]
+            attn_bias = jnp.broadcast_to(
+                attn_bias, (attn_bias.shape[0], self.num_heads, s, s)
+            )
+        out = jax.nn.dot_product_attention(q, k, v, bias=attn_bias)
         out = out.reshape(*x.shape[:-1], d)
         return dense("out_proj")(out)
 
