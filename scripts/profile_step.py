@@ -1,8 +1,11 @@
 """Break down where T* search-step time goes on the attached chip.
 
-Times (pipelined, best-of-3 of 20-call chains): the detector forward alone
-at B in {1,8}, grid preprocessing alone, the smoother alone, a full
-search_step at B=1, the batched step at B=8, and raw dispatch latency.
+WARNING (r2 finding, see CLAUDE.md): through the axon relay,
+``jax.block_until_ready`` can return before execution completes and
+independent same-argument calls appear memoized — ONLY dependent chains
+ending in a host fetch measure truthfully.  The "chain" sections at the
+bottom are the trustworthy numbers; the per-op sections are kept for the
+dispatch-latency floor they reveal, not for op cost.
 """
 
 import os
