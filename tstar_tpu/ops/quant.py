@@ -1,0 +1,82 @@
+"""Int8 (W8A8) matmul primitives for TPU MXU acceleration.
+
+TPU MXUs run int8 x int8 -> int32 matmuls at twice the bf16 rate (v5e:
+394.5 TOPS int8 vs 197 TFLOPS bf16), so quantizing the detector's dense
+layers roughly doubles the FLOP ceiling of the search hot loop.  The
+reference runs its detectors in fp16/fp32 CUDA (``TStar/
+interface_heuristic.py:116-125,237-243``) and has no quantized path; this
+is a TPU-first addition, opt-in via ``SearchConfig.detector_quant``.
+
+Scheme: symmetric per-output-channel weight quantization (static, computed
+once at scorer build) + symmetric per-token dynamic activation quantization
+(absmax, computed in-graph).  Accumulation is int32 on the MXU; dequant is
+a rank-1 outer product of the two scale vectors fused into the epilogue by
+XLA.  No zero points: both sides are symmetric, which keeps the MXU path a
+single plain ``dot_general``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def quantize_weight(w, axis: int = 0) -> Tuple[np.ndarray, np.ndarray]:
+    """Symmetric per-channel int8 quantization of a kernel.
+
+    ``w`` is an (in, out) matrix (flax Dense layout); channels are the
+    output features (reduction over ``axis=0``).  Returns
+    (w_int8 (in, out), scale (out,) float32) with w ~= w_int8 * scale.
+    """
+    w = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(w), axis=axis)
+    scale = np.maximum(absmax, 1e-12) / 127.0
+    q = np.clip(np.round(w / np.expand_dims(scale, axis)), -127, 127)
+    return q.astype(np.int8), scale.astype(np.float32)
+
+
+def quantize_activation(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Dynamic symmetric per-token (last-axis) int8 quantization.
+
+    Returns (x_int8 (..., K), scale (..., 1) float32) with x ~= x_int8 * scale.
+    """
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(absmax, 1e-12) / 127.0
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def int8_matmul(x_i8: jax.Array, w_i8: jax.Array) -> jax.Array:
+    """(..., K) int8 x (K, N) int8 -> (..., N) int32 on the MXU."""
+    return jax.lax.dot_general(
+        x_i8, w_i8,
+        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+
+
+def dense_w8a8(
+    x: jax.Array,              # (..., K) float activations
+    w_i8: jax.Array,           # (K, N) int8 kernel
+    w_scale: jax.Array,        # (N,) float32 per-channel scale
+    bias: Optional[jax.Array] = None,   # (N,) float32
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Quantized dense layer: dynamic-per-token int8 activations x int8 kernel.
+
+    Numerically this computes ``round(x/sx) @ round(w/sw) * sx*sw + b`` — the
+    standard W8A8 scheme; tests/test_quant.py pins the math bit-for-bit
+    against a NumPy simulation and bounds the end-to-end drift on the full
+    detector.
+    """
+    out_dtype = out_dtype or x.dtype
+    x_i8, x_scale = quantize_activation(x)
+    acc = int8_matmul(x_i8, w_i8)
+    y = acc.astype(jnp.float32) * x_scale * w_scale
+    if bias is not None:
+        y = y + bias
+    return y.astype(out_dtype)

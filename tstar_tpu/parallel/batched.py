@@ -27,17 +27,26 @@ _PER_VIDEO_FIELDS = {
     "YoloWorldScorer": ("cache", "text_embeds", "query_mask", "class_weights"),
 }
 
+# Weight-shaped fields beyond ``variables`` that are shared (not stacked)
+# across the video batch.
+_SHARED_EXTRA_FIELDS = {
+    "OwlVitScorer": ("qvision",),
+}
+
 
 def scorer_batch_axes(scorer):
     """vmap in_axes spec: per-video leaves batch on axis 0; model weights are
     shared (axis None) for detector scorers; table scorers batch everywhere."""
-    fields = _PER_VIDEO_FIELDS.get(type(scorer).__name__)
+    name = type(scorer).__name__
+    fields = _PER_VIDEO_FIELDS.get(name)
     if fields is None:
         return 0
     import dataclasses
 
     kw = {f: 0 for f in fields}
     kw["variables"] = None
+    for f in _SHARED_EXTRA_FIELDS.get(name, ()):
+        kw[f] = None
     return dataclasses.replace(scorer, **kw)
 
 

@@ -61,6 +61,9 @@ class OwlVitScorer:
     class_weights: jax.Array  # (Q,) f32: target 1.0 / cue 0.5 / pad 0.5
     model: OwlViTDetector = struct.field(pytree_node=False)
     config: SearchConfig = struct.field(pytree_node=False)
+    # Int8-quantized vision tower (models/owlvit_quant.py), present iff
+    # config.detector_quant == "int8"; shared across a video batch.
+    qvision: Any = None
 
     @property
     def num_classes(self) -> int:
@@ -72,9 +75,16 @@ class OwlVitScorer:
         return self.model.cfg.vision.image_size
 
     def _detect(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        feats = self.model.apply(
-            self.variables, pixels, method=OwlViTDetector.encode_image
-        )
+        if self.qvision is not None:
+            from tstar_tpu.models.owlvit_quant import encode_image_int8
+
+            feats = encode_image_int8(
+                self.qvision, pixels, self.model.cfg, dtype=self.model.dtype
+            )
+        else:
+            feats = self.model.apply(
+                self.variables, pixels, method=OwlViTDetector.encode_image
+            )
         logits, boxes = self.model.apply(
             self.variables, feats, self.query_embeds, self.query_mask,
             method=OwlViTDetector.predict,
@@ -238,6 +248,16 @@ def make_owlvit_scorer(
         method=OwlViTDetector.encode_text,
     )
     query_mask = jnp.asarray(ids_pad[:, 0] > 0)
+    qvision = None
+    if config.detector_quant is not None:
+        if config.detector_quant != "int8":
+            raise ValueError(
+                f"unknown detector_quant={config.detector_quant!r}; "
+                "supported: None (bf16), 'int8'"
+            )
+        from tstar_tpu.models.owlvit_quant import quantize_vision_tower
+
+        qvision = quantize_vision_tower(variables, model.cfg)
     return OwlVitScorer(
         cache=cache,
         variables=variables,
@@ -246,4 +266,5 @@ def make_owlvit_scorer(
         class_weights=jnp.asarray(weights),
         model=model,
         config=config,
+        qvision=qvision,
     )

@@ -49,6 +49,12 @@ class SearchConfig:
     cue_weight: float = 0.5
     detector_threshold: float = 0.005  # OWL-ViT post-process score threshold
 
+    # Detector weight/activation quantization (ours; TPU int8 MXU runs at
+    # 2x the bf16 rate).  None = bf16 (production default); "int8" quantizes
+    # the OWL-ViT vision encoder's dense layers to W8A8 (models/
+    # owlvit_quant.py) — opt-in until validated on real released weights.
+    detector_quant: Optional[str] = None
+
     # Verification rescore batch (ours; semantics-preserving optimization).
     # None = rescore all K sampled frames in one forward whenever any frame
     # triggers (reference-shaped worst case).  A small int T rescores only
