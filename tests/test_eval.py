@@ -231,3 +231,72 @@ class TestQAEval:
         )
         assert acc2 == 1.0
         assert not [c for c in vlm.calls if c["kind"] == "qa"]
+
+    def test_batched_qa_matches_serial(self, search_results, tmp_path):
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        _, data = search_results
+        # three items: clone the row so one chunk is full and one is partial
+        data3 = [dict(data[0]) for _ in range(3)]
+        for i, it in enumerate(data3):
+            it["video_id"] = f"v{i}"
+            it["video_path"] = it["video_path"]  # same file, distinct rows
+
+        # distinct video_path keys are required for resume bookkeeping; give
+        # each row its own path via a symlink
+        import os
+
+        for i, it in enumerate(data3[1:], start=1):
+            link = str(tmp_path / f"v{i}.mp4")
+            os.symlink(data[0]["video_path"], link)
+            it["video_path"] = link
+
+        vlm = FakeGrounder(qa_answer="B")
+        acc, results = compute_qa_accuracy(
+            data3, vlm, sampling_type="TStar",
+            output_file=str(tmp_path / "qa_b.jsonl"), qa_batch=2,
+        )
+        assert acc == 1.0
+        assert len(results) == 3
+        batch_calls = [c for c in vlm.calls if c["kind"] == "qa_batch"]
+        assert [c["batch"] for c in batch_calls] == [2]   # full chunk batched
+        # the trailing single-item chunk goes through the serial API
+        assert len([c for c in vlm.calls if c["kind"] == "qa"]) == 1
+
+    def test_batched_qa_extraction_failure_is_per_item(self, search_results, tmp_path):
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        _, data = search_results
+        bad = dict(data[0])
+        bad["video_id"] = "missing"
+        bad["video_path"] = str(tmp_path / "missing.mp4")
+        rows = [dict(data[0]), bad]
+        vlm = FakeGrounder(qa_answer="B")
+        acc, results = compute_qa_accuracy(
+            rows, vlm, sampling_type="TStar",
+            output_file=str(tmp_path / "qa_f.jsonl"), qa_batch=2,
+        )
+        assert len(results) == 2
+        assert results[0]["correct"] is True
+        assert results[1]["correct"] is False
+        assert results[1]["TStar_pred_answer"].startswith("failed:")
+        assert acc == 1.0  # failures don't count toward total (ref semantics)
+
+    def test_batched_qa_fallback_without_batch_api(self, search_results, tmp_path):
+        """Grounders without inference_qa_batch still work with qa_batch>1."""
+
+        class SerialOnly:
+            def __init__(self):
+                self.n = 0
+
+            def inference_qa(self, frames, question, options, **kw):
+                self.n += 1
+                return "B"
+
+        _, data = search_results
+        vlm = SerialOnly()
+        acc, results = compute_qa_accuracy(
+            data * 1, vlm, sampling_type="TStar",
+            output_file=str(tmp_path / "qa_s.jsonl"), qa_batch=4,
+        )
+        assert acc == 1.0 and vlm.n == 1

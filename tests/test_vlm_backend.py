@@ -135,3 +135,49 @@ class TestJaxVLMBackendEndToEnd:
         a = g.backend.inference_with_frames("Q: <image> what?", frames, 0.0, 4)
         b = g.backend.inference_with_frames("Q: <image> what?", frames, 0.0, 4)
         assert a == b
+
+
+class TestBatchedInference:
+    def test_batch_matches_serial_greedy(self, checkpoint_dir):
+        """Batched generation (shared prefill/decode) == serial, greedy.
+
+        Mixes two frame resolutions so the batch splits into two signature
+        groups, exercising the grouping + padding + image-stream-order logic.
+        """
+        g = UniversalGrounder(model_name="qwen2-vl-tiny", model_path=checkpoint_dir)
+        g.backend.max_pixels = 56 * 56
+        rng = np.random.default_rng(2)
+        reqs = [
+            ("Q: <image> first?", [rng.integers(0, 256, (64, 80, 3), np.uint8)]),
+            ("Q: <image> second, longer question text?",
+             [rng.integers(0, 256, (64, 80, 3), np.uint8)]),
+            ("Q: <image> other resolution?",
+             [rng.integers(0, 256, (80, 64, 3), np.uint8)]),
+        ]
+        serial = [
+            g.backend.inference_with_frames(q, f, temperature=0.0, max_tokens=4)
+            for q, f in reqs
+        ]
+        batched = g.backend.inference_with_frames_batch(
+            [q for q, _ in reqs], [f for _, f in reqs],
+            temperature=0.0, max_tokens=4,
+        )
+        assert batched == serial
+
+    def test_facade_qa_batch_uses_backend_batch(self, checkpoint_dir):
+        g = UniversalGrounder(model_name="qwen2-vl-tiny", model_path=checkpoint_dir)
+        g.backend.max_pixels = 56 * 56
+        rng = np.random.default_rng(3)
+        items = [
+            {"frames": [rng.integers(0, 256, (64, 80, 3), np.uint8)],
+             "question": f"what {i}?", "options": "A) x\nB) y"}
+            for i in range(2)
+        ]
+        outs = g.inference_qa_batch(items, temperature=0.0)
+        assert len(outs) == 2
+        serial = [
+            g.inference_qa(it["frames"], it["question"], it["options"],
+                           temperature=0.0)
+            for it in items
+        ]
+        assert outs == serial

@@ -173,8 +173,24 @@ def compute_qa_accuracy(
     sampling_type: str = "uniform",
     duration_type: str = "video",
     output_file: str = "./qa_results.jsonl",
+    qa_batch: int = 1,
+    max_workers: int = 4,
 ) -> tuple:
-    """Sequential QA eval with JSONL resume (val_qa_results.py:182-299)."""
+    """QA eval with JSONL resume (val_qa_results.py:182-299).
+
+    ``qa_batch`` > 1 batches VLM inference across items (ours; the reference
+    is strictly serial, one generate per item): frames for the chunk extract
+    on ``max_workers`` threads keyed by item index, then one
+    ``inference_qa_batch`` call answers the whole chunk in shared
+    prefill/decode forwards when the grounder supports it.  Failure handling
+    stays per-item: extraction errors fail only their item, and a batched
+    inference error falls back to per-item serial calls.
+    """
+    if sampling_type not in ("uniform", "TStar"):
+        raise NotImplementedError(
+            f"sampling_type '{sampling_type}' not in [uniform, TStar]"
+        )
+
     existing: Dict[str, Dict] = {}
     if os.path.exists(output_file):
         logger.info("resuming from %s", output_file)
@@ -184,52 +200,109 @@ def compute_qa_accuracy(
                     it = json.loads(line)
                     existing[it["video_path"]] = it
 
-    results = []
+    from concurrent.futures import ThreadPoolExecutor
+
+    results: List[Optional[Dict[str, Any]]] = [None] * len(result_data)
+    pending: List[int] = []
     correct = total = 0
+    for idx, item in enumerate(result_data):
+        done = existing.get(item.get("video_path"))
+        if done is not None:
+            results[idx] = done
+            correct += bool(done.get("correct"))
+            total += 1
+        else:
+            pending.append(idx)
+
+    def extract_one(idx):
+        item = result_data[idx]
+        dist = (
+            item.get("keyframe_distribution") if sampling_type == "TStar" else None
+        )
+        return extract_qa_frames(
+            item["video_path"], item, dist, nframe, duration_type=duration_type
+        )
+
+    chunk_size = max(1, qa_batch)
     with open(output_file, "a", encoding="utf-8") as sink:
-        for idx, item in enumerate(result_data):
-            vp = item.get("video_path")
-            if vp in existing:
-                done = existing[vp]
-                results.append(done)
-                correct += bool(done.get("correct"))
-                total += 1
-                continue
+        for at in range(0, len(pending), chunk_size):
+            chunk = pending[at: at + chunk_size]
+            # index-keyed threaded extraction (reference appends in
+            # completion order, which misaligns lists — see module docstring)
+            frames_by_idx: Dict[int, Any] = {}
+            with ThreadPoolExecutor(max_workers=max(1, max_workers)) as pool:
+                for idx, res in zip(
+                    chunk,
+                    pool.map(
+                        lambda i: _try_extract(extract_one, i), chunk
+                    ),
+                ):
+                    frames_by_idx[idx] = res
 
-            if sampling_type == "uniform":
-                dist = None
-            elif sampling_type == "TStar":
-                dist = item.get("keyframe_distribution")
-            else:
-                raise NotImplementedError(
-                    f"sampling_type '{sampling_type}' not in [uniform, TStar]"
-                )
+            ok = [i for i in chunk if not isinstance(frames_by_idx[i], Exception)]
+            preds: Dict[int, str] = {}
+            if len(ok) > 1 and hasattr(vlm_model, "inference_qa_batch"):
+                try:
+                    answers = vlm_model.inference_qa_batch(
+                        [
+                            {
+                                "frames": frames_by_idx[i],
+                                "question": result_data[i]["question"],
+                                "options": result_data[i]["options"],
+                            }
+                            for i in ok
+                        ],
+                        temperature=0.2,
+                    )
+                    preds = dict(zip(ok, answers))
+                except Exception as e:  # noqa: BLE001 — fall back to serial
+                    logger.error("batched QA failed (%s); retrying serially", e)
+                    preds = {}
+            for i in ok:
+                if i in preds:
+                    continue
+                try:
+                    preds[i] = vlm_model.inference_qa(
+                        frames=frames_by_idx[i],
+                        question=result_data[i]["question"],
+                        options=result_data[i]["options"],
+                        temperature=0.2,
+                        max_tokens=1024,
+                    ).strip()
+                except Exception as e:  # noqa: BLE001 — per-item continue
+                    logger.error("item %d failed: %s", i, e)
+                    frames_by_idx[i] = e
 
-            try:
-                frames = extract_qa_frames(
-                    vp, item, dist, nframe, duration_type=duration_type
-                )
-                pred = vlm_model.inference_qa(
-                    frames=frames,
-                    question=item["question"],
-                    options=item["options"],
-                    temperature=0.2,
-                    max_tokens=1024,
-                ).strip()
-                is_correct = match_answer(pred, item["gt_answer"].strip())
-                item[f"{sampling_type}_pred_answer"] = pred
-                item["correct"] = is_correct
-                correct += is_correct
-                total += 1
-            except Exception as e:  # noqa: BLE001 — per-item continue
-                logger.error("item %d failed: %s", idx, e)
-                item[f"{sampling_type}_pred_answer"] = f"failed: {e}"
-                item["correct"] = False
-            results.append(item)
-            json.dump(item, sink, ensure_ascii=False)
-            sink.write("\n")
-            sink.flush()
+            for idx in chunk:
+                item = result_data[idx]
+                err = frames_by_idx[idx]
+                if not isinstance(err, Exception):
+                    try:
+                        pred = preds[idx]
+                        is_correct = match_answer(pred, item["gt_answer"].strip())
+                    except Exception as e:  # noqa: BLE001 — per-item row
+                        logger.error("item %d failed: %s", idx, e)
+                        err = e
+                if isinstance(err, Exception):
+                    item[f"{sampling_type}_pred_answer"] = f"failed: {err}"
+                    item["correct"] = False
+                else:
+                    item[f"{sampling_type}_pred_answer"] = pred
+                    item["correct"] = is_correct
+                    correct += is_correct
+                    total += 1
+                results[idx] = item
+                json.dump(item, sink, ensure_ascii=False)
+                sink.write("\n")
+                sink.flush()
 
     accuracy = correct / total if total else 0.0
     logger.info("QA Accuracy: %.2f%% (%d/%d)", accuracy * 100, correct, total)
-    return accuracy, results
+    return accuracy, [r for r in results if r is not None]
+
+
+def _try_extract(fn, idx):
+    try:
+        return fn(idx)
+    except Exception as e:  # noqa: BLE001 — per-item failure row
+        return e

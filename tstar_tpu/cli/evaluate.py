@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     q.add_argument("--duration_type", type=str, default="video",
                    choices=["video", "clip"])
     q.add_argument("--output_root", type=str, default="./results/qa_version")
+    q.add_argument("--qa_batch", type=int, default=1,
+                   help="batch VLM inference across items (ours; JAX "
+                        "backends share prefill/decode forwards)")
+    q.add_argument("--model_path", type=str, default=None,
+                   help="local checkpoint dir for JAX VLM backends")
     return p
 
 
@@ -83,7 +88,7 @@ def main(argv=None):
     from tstar_tpu.bench.evaluate import compute_qa_accuracy
     from tstar_tpu.grounding.universal import UniversalGrounder
 
-    grounder = UniversalGrounder(model_name=args.backend)
+    grounder = UniversalGrounder(model_name=args.backend, model_path=args.model_path)
     data = load_results_json(args.json_file)
     os.makedirs(args.output_root, exist_ok=True)
     base = os.path.basename(args.json_file)
@@ -101,6 +106,7 @@ def main(argv=None):
         sampling_type=args.sampling_type,
         duration_type=args.duration_type,
         output_file=out,
+        qa_batch=args.qa_batch,
     )
     metrics_path = out.replace(".json", "_metrics.json")
     with open(metrics_path, "w", encoding="utf-8") as f:

@@ -63,6 +63,13 @@ class FakeGrounder:
         )
         return self.qa_answer
 
+    def inference_qa_batch(self, items, **kw) -> List[str]:
+        self.calls.append(
+            {"kind": "qa_batch", "batch": len(items),
+             "questions": [it["question"] for it in items]}
+        )
+        return [self.qa_answer] * len(items)
+
     def inference_openend_qa(self, frames, question: str, **kw) -> str:
         self.calls.append({"kind": "open_qa", "question": question})
         return self.open_answer

@@ -94,6 +94,38 @@ class UniversalGrounder:
         )
         return response.strip()
 
+    def inference_qa_batch(
+        self,
+        items,                      # sequence of dicts: {frames, question, options}
+        temperature: float = 0.2,
+    ) -> List[str]:
+        """Answer many QA items at once (ours; the reference answers one item
+        per ``generate`` call, val_qa_results.py:261-267).
+
+        Uses the backend's batched path when it has one (JaxVLMBackend groups
+        requests into shared prefill/decode forwards); otherwise falls back
+        to per-item calls.  Same 30-token cap as ``inference_qa``.
+        """
+        prompts = [
+            build_qa_prompt(it["question"], it["options"], len(it["frames"]))
+            for it in items
+        ]
+        batch_fn = getattr(self.backend, "inference_with_frames_batch", None)
+        if batch_fn is not None and len(items) > 1:
+            responses = batch_fn(
+                prompts, [it["frames"] for it in items],
+                temperature=temperature, max_tokens=30,
+            )
+        else:
+            responses = [
+                self.backend.inference_with_frames(
+                    query=p, frames=it["frames"],
+                    temperature=temperature, max_tokens=30,
+                )
+                for p, it in zip(prompts, items)
+            ]
+        return [r.strip() for r in responses]
+
     def inference_openend_qa(
         self, frames, question: str, temperature: float = 0.2, max_tokens: int = 2048
     ) -> str:

@@ -96,6 +96,104 @@ class JaxVLMBackend:
             out.append(t)
         return self.tokenizer.decode(out).strip()
 
+    def inference_with_frames_batch(
+        self,
+        queries: Sequence[str],
+        frames_list: Sequence[Sequence[np.ndarray]],
+        temperature: float = 0.7,
+        max_tokens: int = 128,
+    ) -> list:
+        """Batched generation: many (query, frames) requests per forward.
+
+        The reference answers QA items one ``model.generate`` call at a time
+        (``LVHaystackBench/val_qa_results.py:261-267``); on TPU a batch of B
+        prompts shares one prefill + decode, using the MXU far better at
+        these small model sizes.  Requests are grouped by input signature
+        (image grid + patch shape) so every group stacks into static shapes;
+        prompts right-pad to a 128-multiple bucket to bound retraces.
+        Greedy (temperature 0) results are identical to the serial path —
+        pinned by tests/test_vlm_backend.py.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from tstar_tpu.models.generate import generate
+
+        if self._is_llava:
+            # AnyRes tiling makes cross-item shapes heterogeneous; keep the
+            # LLaVA path serial.
+            return [
+                self.inference_with_frames(q, f, temperature, max_tokens)
+                for q, f in zip(queries, frames_list)
+            ]
+        from tstar_tpu.models.qwen2vl_processor import prepare_vlm_inputs
+
+        prepared = []
+        for query, frames in zip(queries, frames_list):
+            frames = [np.asarray(f) for f in (frames or [])]
+            prepared.append(
+                prepare_vlm_inputs(
+                    self.tokenizer, query, frames, self.model.cfg.vision,
+                    max_pixels=self.max_pixels,
+                    image_token_id=self.model.cfg.image_token_id,
+                )
+            )
+
+        def signature(inp):
+            p = inp["image_patches"]
+            return (inp["image_grid_hw"], None if p is None else p.shape)
+
+        groups: dict = {}
+        for i, inp in enumerate(prepared):
+            groups.setdefault(signature(inp), []).append(i)
+
+        pad_id = self.tokenizer.pad_id
+        outputs = [""] * len(prepared)
+        for (grid_hw, _), idxs in groups.items():
+            lens = [int(prepared[i]["prompt_lens"][0]) for i in idxs]
+            s_pad = -(-max(lens) // 128) * 128
+            b = len(idxs)
+            ids = np.full((b, s_pad), pad_id, np.int32)
+            pos = np.zeros((3, b, s_pad), np.int32)
+            for row, i in enumerate(idxs):
+                inp = prepared[i]
+                L = lens[row]
+                ids[row, :L] = inp["input_ids"][0]
+                pos[:, row, :L] = inp["position_ids"][:, 0]
+            patches = None
+            if grid_hw is not None:
+                # concatenation order == row order: embed() scatters the
+                # flattened image stream over image tokens in (B, S) order.
+                patches = jnp.asarray(
+                    np.concatenate(
+                        [prepared[i]["image_patches"] for i in idxs], axis=0
+                    )
+                )
+            self._rng, key = jax.random.split(self._rng)
+            tokens = generate(
+                self.model,
+                self.variables,
+                ids,
+                np.asarray(lens, np.int32),
+                pos,
+                max_new_tokens=max_tokens,
+                eos_token_ids=[self.tokenizer.eos_id, self.tokenizer.pad_id],
+                temperature=temperature,
+                rng=key,
+                image_patches=patches,
+                image_grid_hw=grid_hw,
+            )
+            tokens = np.asarray(tokens)
+            stops = {self.tokenizer.eos_id, self.tokenizer.pad_id}
+            for row, i in enumerate(idxs):
+                out = []
+                for t in tokens[row].tolist():
+                    if t in stops:
+                        break
+                    out.append(t)
+                outputs[i] = self.tokenizer.decode(out).strip()
+        return outputs
+
     # Legacy shim mirroring QwenInterface.inference (interface_grounding.py:135).
     def inference(self, query: str, frames=None, max_new_tokens: int = 128) -> str:
         return self.inference_with_frames(
