@@ -172,7 +172,8 @@ class TestQuantScorer:
         scorer, *_ = quant_scorer
         assert scorer.qvision is not None
         lyr = scorer.qvision["layers"][0]
-        assert lyr["q"]["w"].dtype == jnp.int8
+        assert lyr["qkv"]["w"].dtype == jnp.int8
+        assert lyr["qkv"]["w"].shape == (32, 96)   # fused (D, 3D)
         assert lyr["fc1"]["w"].dtype == jnp.int8
 
     def test_rejects_unknown_quant(self):

@@ -81,6 +81,43 @@ def owlvit_base_patch32() -> OwlViTConfig:
     return OwlViTConfig()
 
 
+def patchify(pixels: jax.Array, patch_size: int) -> jax.Array:
+    """(B, H, W, C) -> (B, P, p*p*C) non-overlapping patches, (ph, pw, c)
+    minor order (matches an HWIO conv kernel flattened to (p*p*C, D))."""
+    b, h, w, ch = pixels.shape
+    p = patch_size
+    x = pixels.reshape(b, h // p, p, w // p, p, ch)
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(b, (h // p) * (w // p), p * p * ch)
+
+
+class PatchEmbed(nn.Module):
+    """Stride=kernel patch conv expressed as patchify + ONE MXU matmul.
+
+    XLA's conv emitter runs this shape (32x32/32 stride over 768^2) at ~10%
+    MFU on v5e (measured from a device trace, r2); the identical math as a
+    (B*P, 3072) x (3072, D) matmul hits normal matmul efficiency.  The param
+    keeps nn.Conv's HWIO kernel layout/name so HF checkpoint conversion is
+    unchanged (convert_hf_owlvit_state_dict).
+    """
+
+    features: int
+    patch_size: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        p = self.patch_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (p, p, pixels.shape[-1], self.features),
+        )
+        x = patchify(pixels.astype(self.dtype), p)
+        w = kernel.astype(self.dtype).reshape(-1, self.features)
+        return jnp.einsum("bpk,kd->bpd", x, w)
+
+
 class VisionTower(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
@@ -89,16 +126,10 @@ class VisionTower(nn.Module):
     def __call__(self, pixels: jax.Array) -> jax.Array:
         """pixels (B, H, W, 3) normalized -> last hidden states (B, 1+P, D)."""
         c = self.cfg
-        patches = nn.Conv(
-            c.hidden_size,
-            kernel_size=(c.patch_size, c.patch_size),
-            strides=(c.patch_size, c.patch_size),
-            use_bias=False,
-            dtype=self.dtype,
-            name="patch_embedding",
-        )(pixels.astype(self.dtype))
+        patches = PatchEmbed(
+            c.hidden_size, c.patch_size, dtype=self.dtype, name="patch_embedding"
+        )(pixels)
         b = patches.shape[0]
-        patches = patches.reshape(b, -1, c.hidden_size)
 
         cls = self.param(
             "class_embedding", nn.initializers.normal(0.02), (c.hidden_size,)

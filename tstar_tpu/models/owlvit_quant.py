@@ -64,12 +64,22 @@ def quantize_vision_tower(variables: Any, cfg: OwlViTConfig) -> Dict[str, Any]:
     for i in range(cfg.vision.num_layers):
         lyr = v["encoder"][f"layers_{i}"]
         attn = lyr["self_attn"]
+        # Q/K/V share the same (layernormed) input, so their kernels fuse
+        # into ONE (D, 3D) int8 matmul: the input is quantized once and the
+        # MXU sees a single larger contraction.  Per-channel scales make the
+        # fusion exact (identical to three separate quantized matmuls).
+        qkv = {
+            key: np.concatenate(
+                [np.asarray(attn[name][key], np.float32)
+                 for name in ("q_proj", "k_proj", "v_proj")],
+                axis=-1 if key == "kernel" else 0,
+            )
+            for key in ("kernel", "bias")
+        }
         layers.append({
             "ln1": _ln_params(lyr["layer_norm1"]),
             "ln2": _ln_params(lyr["layer_norm2"]),
-            "q": _qlinear(attn["q_proj"]),
-            "k": _qlinear(attn["k_proj"]),
-            "v": _qlinear(attn["v_proj"]),
+            "qkv": _qlinear(qkv),
             "o": _qlinear(attn["out_proj"]),
             "fc1": _qlinear(lyr["mlp"]["fc1"]),
             "fc2": _qlinear(lyr["mlp"]["fc2"]),
@@ -109,15 +119,12 @@ def encode_image_int8(
     eps = c.eps
     ps = c.patch_size
 
-    patches = jax.lax.conv_general_dilated(
-        pixels.astype(dtype),
-        qparams["patch_kernel"].astype(dtype),
-        window_strides=(ps, ps),
-        padding="VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
+    from tstar_tpu.models.owlvit import patchify
+
+    x_p = patchify(pixels.astype(dtype), ps)
+    w_p = qparams["patch_kernel"].astype(dtype).reshape(-1, c.hidden_size)
+    patches = jnp.einsum("bpk,kd->bpd", x_p, w_p)
     b = patches.shape[0]
-    patches = patches.reshape(b, -1, c.hidden_size)
     cls = jnp.broadcast_to(
         qparams["cls"].astype(dtype), (b, 1, c.hidden_size)
     )
@@ -129,9 +136,10 @@ def encode_image_int8(
     seq = x.shape[1]
     for lyr in qparams["layers"]:
         h = _layernorm(x, lyr["ln1"], eps)
-        q = dense_w8a8(h, lyr["q"]["w"], lyr["q"]["s"], lyr["q"]["b"], out_dtype=dtype)
-        k = dense_w8a8(h, lyr["k"]["w"], lyr["k"]["s"], lyr["k"]["b"], out_dtype=dtype)
-        v = dense_w8a8(h, lyr["v"]["w"], lyr["v"]["s"], lyr["v"]["b"], out_dtype=dtype)
+        qkv = dense_w8a8(
+            h, lyr["qkv"]["w"], lyr["qkv"]["s"], lyr["qkv"]["b"], out_dtype=dtype
+        )
+        q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(b, seq, c.num_heads, head_dim)
         attn = jax.nn.dot_product_attention(split(q), split(k), split(v))
         attn = attn.reshape(b, seq, c.hidden_size)

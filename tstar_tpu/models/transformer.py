@@ -29,6 +29,23 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+class _LinearParams(nn.Module):
+    """Declares a Dense layer's (kernel, bias) without running it, so fused
+    projections can keep the standard q_proj/k_proj/v_proj checkpoint tree."""
+
+    features: int
+    in_features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class MultiHeadAttention(nn.Module):
     """Standard multi-head attention.
 
@@ -55,9 +72,20 @@ class MultiHeadAttention(nn.Module):
         head_dim = d // self.num_heads
         dense = lambda name: nn.Dense(d, dtype=self.dtype, name=name)
 
-        q = dense("q_proj")(x)
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
+        # Parameters stay as separate q/k/v (HF checkpoint layout), but the
+        # three projections run as ONE (D, 3D) matmul: at this framework's
+        # shapes (S=577, D=768) three separate dots measure ~7% MFU on v5e
+        # while the fused dot tiles normally.  The concat is loop-invariant
+        # (weights), so XLA hoists it out of the search while_loop; numerics
+        # are identical per output column.
+        params = [
+            _LinearParams(d, d, name=name)()
+            for name in ("q_proj", "k_proj", "v_proj")
+        ]
+        w = jnp.concatenate([k for k, _ in params], axis=1).astype(self.dtype)
+        bias3 = jnp.concatenate([b for _, b in params]).astype(self.dtype)
+        qkv = jnp.einsum("...sd,de->...se", x, w) + bias3
+        q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(t):
             return t.reshape(*t.shape[:-1], self.num_heads, head_dim)
