@@ -301,6 +301,53 @@ class OwlViTDetector(nn.Module):
         return self.predict(feats, queries, query_mask)
 
 
+def interpolate_position_embedding(
+    pos: jax.Array, src_side: int, dst_side: int
+) -> jax.Array:
+    """Bilinearly resample a ViT position embedding to a new patch grid.
+
+    ``pos`` is (1 + src_side^2, D) with the CLS row first.  Standard ViT
+    resolution-change recipe (HF Owlv2 ``interpolate_pos_encoding``); used to
+    run verification rescores at a reduced image size
+    (SearchConfig.verify_image_size).
+    """
+    cls_row, grid = pos[:1], pos[1:]
+    d = grid.shape[-1]
+    grid = grid.reshape(src_side, src_side, d)
+    grid = jax.image.resize(grid, (dst_side, dst_side, d), method="linear")
+    return jnp.concatenate([cls_row, grid.reshape(dst_side * dst_side, d)], axis=0)
+
+
+def resize_detector(
+    model: "OwlViTDetector", variables, image_size: int
+) -> Tuple["OwlViTDetector", Any]:
+    """A detector view at a different input resolution, sharing all weights.
+
+    Only the vision position embedding is resampled (new array); every other
+    parameter leaf is the SAME buffer — no weight duplication in HBM.
+    """
+    src = model.cfg.vision
+    if image_size == src.image_size:
+        return model, variables
+    if image_size % src.patch_size:
+        raise ValueError(
+            f"image_size {image_size} not a multiple of patch {src.patch_size}"
+        )
+    new_cfg = dataclasses.replace(
+        model.cfg, vision=dataclasses.replace(src, image_size=image_size)
+    )
+    new_model = OwlViTDetector(new_cfg, dtype=model.dtype)
+    pos = variables["params"]["vision"]["position_embedding"]
+    new_pos = interpolate_position_embedding(
+        jnp.asarray(pos), src.num_patches_side, image_size // src.patch_size
+    )
+    params = dict(variables["params"])
+    vision = dict(params["vision"])
+    vision["position_embedding"] = new_pos
+    params["vision"] = vision
+    return new_model, {**variables, "params": params}
+
+
 # ---------------------------------------------------------------------------
 # Post-processing (mirrors OwlViTImageProcessor.post_process_object_detection
 # / ..._grounded_object_detection: per-query max over classes, sigmoid score,

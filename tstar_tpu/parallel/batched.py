@@ -30,7 +30,7 @@ _PER_VIDEO_FIELDS = {
 # Weight-shaped fields beyond ``variables`` that are shared (not stacked)
 # across the video batch.
 _SHARED_EXTRA_FIELDS = {
-    "OwlVitScorer": ("qvision",),
+    "OwlVitScorer": ("qvision", "verify_variables", "qvision_verify"),
 }
 
 

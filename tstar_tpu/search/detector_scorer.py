@@ -64,6 +64,15 @@ class OwlVitScorer:
     # Int8-quantized vision tower (models/owlvit_quant.py), present iff
     # config.detector_quant == "int8"; shared across a video batch.
     qvision: Any = None
+    # Reduced-resolution verification view (config.verify_image_size): the
+    # same weights with a resampled position embedding (owlvit.resize_detector)
+    # and, under int8, a matching quantized tower.  None = verify at native
+    # size with the main model.
+    verify_variables: Any = None
+    qvision_verify: Any = None
+    verify_model: Optional[OwlViTDetector] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_classes(self) -> int:
@@ -74,22 +83,27 @@ class OwlVitScorer:
         """Side of the square detector canvas the detection boxes live in."""
         return self.model.cfg.vision.image_size
 
-    def _detect(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-        if self.qvision is not None:
+    def _detect(
+        self, pixels: jax.Array, model=None, variables=None, qvision=None
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        model = model or self.model
+        variables = variables if variables is not None else self.variables
+        qvision = qvision if qvision is not None else self.qvision
+        if qvision is not None:
             from tstar_tpu.models.owlvit_quant import encode_image_int8
 
             feats = encode_image_int8(
-                self.qvision, pixels, self.model.cfg, dtype=self.model.dtype
+                qvision, pixels, model.cfg, dtype=model.dtype
             )
         else:
-            feats = self.model.apply(
-                self.variables, pixels, method=OwlViTDetector.encode_image
+            feats = model.apply(
+                variables, pixels, method=OwlViTDetector.encode_image
             )
-        logits, boxes = self.model.apply(
-            self.variables, feats, self.query_embeds, self.query_mask,
+        logits, boxes = model.apply(
+            variables, feats, self.query_embeds, self.query_mask,
             method=OwlViTDetector.predict,
         )
-        size = self.model.cfg.vision.image_size
+        size = model.cfg.vision.image_size
         return postprocess_detections(logits, boxes, (size, size))
 
     def _score_grid_full(
@@ -142,8 +156,12 @@ class OwlVitScorer:
         }
         return conf, presence, dets
 
+    @property
+    def _verify_model(self) -> OwlViTDetector:
+        return self.verify_model or self.model
+
     def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        size = self.model.cfg.vision.image_size
+        size = self._verify_model.cfg.vision.image_size
         pixels = build_verify_batch(self.cache, secs, size, dtype=self.model.dtype)
         return self._score_verify_pixels(pixels)
 
@@ -155,7 +173,7 @@ class OwlVitScorer:
         and the verification A/B harness."""
         from tstar_tpu.kernels.image import bilinear_resize, normalize_clip
 
-        size = self.model.cfg.vision.image_size
+        size = self._verify_model.cfg.vision.image_size
         pixels = normalize_clip(
             bilinear_resize(frames, (size, size)), self.model.dtype
         )
@@ -163,8 +181,19 @@ class OwlVitScorer:
 
     def _score_verify_pixels(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
-        size = self.model.cfg.vision.image_size
-        scores, class_ids, boxes = self._detect(pixels)
+        size = self._verify_model.cfg.vision.image_size
+        scores, class_ids, boxes = self._detect(
+            pixels,
+            model=self._verify_model,
+            variables=(
+                self.verify_variables
+                if self.verify_variables is not None else self.variables
+            ),
+            qvision=(
+                self.qvision_verify
+                if self.qvision_verify is not None else self.qvision
+            ),
+        )
         keep = scores > cfg.detector_threshold
 
         def one(b, s, c, k):
@@ -258,6 +287,28 @@ def make_owlvit_scorer(
         from tstar_tpu.models.owlvit_quant import quantize_vision_tower
 
         qvision = quantize_vision_tower(variables, model.cfg)
+
+    verify_model = verify_variables = qvision_verify = None
+    if (
+        config.verify_image_size is not None
+        and config.verify_image_size != model.cfg.vision.image_size
+    ):
+        from tstar_tpu.models.owlvit import resize_detector
+
+        verify_model, verify_variables = resize_detector(
+            model, variables, config.verify_image_size
+        )
+        if qvision is not None:
+            from tstar_tpu.models.owlvit import interpolate_position_embedding
+
+            src = model.cfg.vision
+            qvision_verify = {
+                **qvision,
+                "pos": interpolate_position_embedding(
+                    qvision["pos"], src.num_patches_side,
+                    config.verify_image_size // src.patch_size,
+                ),
+            }
     return OwlVitScorer(
         cache=cache,
         variables=variables,
@@ -267,4 +318,7 @@ def make_owlvit_scorer(
         model=model,
         config=config,
         qvision=qvision,
+        verify_variables=verify_variables,
+        qvision_verify=qvision_verify,
+        verify_model=verify_model,
     )

@@ -55,6 +55,17 @@ class SearchConfig:
     # owlvit_quant.py) — opt-in until validated on real released weights.
     detector_quant: Optional[str] = None
 
+    # Verification image size (ours; TPU throughput knob).  None = the
+    # detector's native size (768 for OWL-ViT B/32, matching the reference's
+    # processor resize).  A smaller side (e.g. 512) runs the verification
+    # rescore with bilinearly interpolated position embeddings — verify
+    # frames are upscaled cache frames, so little information is lost, and
+    # verification is ~94% of worst-case search FLOPs.  Opt-in: it shifts
+    # verification confidences slightly, which can change removal decisions
+    # vs the reference semantics (the reference itself rescores at a
+    # degraded 600x285, interface_searcher.py:403).
+    verify_image_size: Optional[int] = None
+
     # Verification rescore batch (ours; semantics-preserving optimization).
     # None = rescore all K sampled frames in one forward whenever any frame
     # triggers (reference-shaped worst case).  A small int T rescores only
