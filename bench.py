@@ -14,13 +14,16 @@ videos.
 This is the WORST-CASE search: random weights + confidence_threshold 2.0
 make the 16-frame full-resolution verification rescore fire every
 iteration, so each step runs 17 detector forwards (~1.87 TFLOP).  In that
-regime B=1 already reaches ~40% MFU (the verify batch saturates the MXU),
+regime B=1 already reaches ~50% MFU (the verify batch saturates the MXU),
 which is why batching does not raise throughput further — see
 extra["mfu_b1_with_verification"].  extra also reports the
 detection-sparse ablation (verification never triggers: the realistic
 regime with real weights when the target is absent), per-batch-size
-frames/s/chip, and the Pallas-vs-XLA preprocess delta at B=1 (XLA wins;
-see detector_scorer.resolve_pallas_preprocess).
+frames/s/chip, the Pallas-vs-XLA preprocess delta at B=1 (XLA wins; see
+detector_scorer.resolve_pallas_preprocess), and the opt-in TPU perf knobs
+(int8 W8A8 encoder, reduced-resolution verification) in
+extra["b1_frames_per_sec_knobs"] — the headline value deliberately stays
+the reference-semantics default configuration.
 
 Baseline: the SAME weights on the SAME chip driven by the reference's
 runtime architecture (per-iteration host round-trips + host cv2/scipy state
@@ -150,6 +153,36 @@ def main():
     extra["b1_frames_per_sec_rescore_all"] = round(
         frames_scored / time_best_of(run_all), 2
     )
+
+    # ---- opt-in TPU perf knobs (headline stays the reference-semantics
+    # default: bf16, native-resolution verification) ----
+    # detector_quant="int8": W8A8 encoder (models/owlvit_quant.py);
+    # verify_image_size=512: verification at interpolated resolution
+    # (verify frames are upscaled 192x384 cache frames).
+    def knob_fps(cfg2):
+        sc = make_owlvit_scorer(
+            model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg2
+        )
+        st = init_state(n_valid, 1, cfg2, jax.random.key(1), n_pad=n_pad)
+
+        def run():
+            _, secs = run_search_chained(st, sc, cfg2)
+            np.asarray(secs)
+
+        run()
+        return round(frames_scored / time_best_of(run), 2)
+
+    extra["b1_frames_per_sec_knobs"] = {
+        "int8": knob_fps(dataclasses.replace(cfg, detector_quant="int8")),
+        "bf16_verify512": knob_fps(
+            dataclasses.replace(cfg, verify_image_size=512)
+        ),
+        "int8_verify512": knob_fps(
+            dataclasses.replace(
+                cfg, detector_quant="int8", verify_image_size=512
+            )
+        ),
+    }
 
     # ---- batched multi-video engine at B in {4, 8} ----
     # (measured: batching does NOT raise throughput in this worst-case

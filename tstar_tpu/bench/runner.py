@@ -31,6 +31,7 @@ def search_one_item(
     output_dir: str = "./results/frame_search",
     seed: int = 0,
     save_artifacts: bool = False,
+    config=None,
 ) -> Dict[str, Any]:
     """Run grounding + search for one dataset item; returns the result row."""
     from tstar_tpu.framework.framework import TStarFramework
@@ -49,6 +50,7 @@ def search_one_item(
         search_budget=search_budget,
         seed=seed,
         save_artifacts=save_artifacts,
+        config=config,
     )
     targets, cues = fw.get_grounded_objects()
     searcher = fw.initialize_videoSearcher(targets, cues)
@@ -75,6 +77,7 @@ def run_dataset_batched(
     confidence_threshold: float = 0.7,
     search_budget: float = 1.0,
     seed: int = 0,
+    config=None,
     **_ignored,
 ) -> List[Dict[str, Any]]:
     """Batched variant: grounding runs serially (VLM/API-bound), searches run
@@ -88,7 +91,7 @@ def run_dataset_batched(
     from tstar_tpu.utils.config import SearchConfig
 
     config = _dc.replace(
-        SearchConfig(),
+        config or SearchConfig(),
         search_nframes=search_nframes,
         grid_rows=grid_rows,
         grid_cols=grid_cols,

@@ -34,6 +34,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--batch_videos", type=int, default=0,
                    help=">0: search N videos concurrently in one on-device "
                         "batched loop (detector backends only)")
+    p.add_argument("--detector_quant", type=str, default=None,
+                   choices=["int8"],
+                   help="quantize the OWL-ViT encoder to W8A8 (TPU int8 MXU)")
+    p.add_argument("--verify_image_size", type=int, default=None,
+                   help="verification rescore resolution (e.g. 512); "
+                        "default = detector native size")
     return p
 
 
@@ -68,6 +74,13 @@ def main(argv=None):
         confidence_threshold=args.confidence_threshold,
         search_budget=args.search_budget,
     )
+    if args.detector_quant or args.verify_image_size:
+        from tstar_tpu.utils.config import SearchConfig
+
+        common["config"] = SearchConfig(
+            detector_quant=args.detector_quant,
+            verify_image_size=args.verify_image_size,
+        )
     if args.batch_videos > 0:
         from tstar_tpu.bench.runner import run_dataset_batched
 

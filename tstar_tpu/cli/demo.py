@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--deterministic", action="store_true",
                    help="top-k keyframe pop instead of sampled (reproducible)")
+    p.add_argument("--detector_quant", type=str, default=None,
+                   choices=["int8"],
+                   help="quantize the OWL-ViT encoder to W8A8 (TPU int8 MXU)")
+    p.add_argument("--verify_image_size", type=int, default=None,
+                   help="verification rescore resolution (e.g. 512); "
+                        "default = detector native size")
     p.add_argument("--json", action="store_true", help="print results as JSON")
     p.add_argument("--synthesize", action="store_true",
                    help="write a synthetic fixture video to --video_path first")
@@ -62,10 +68,14 @@ def main(argv=None):
         kwargs["checkpoint_dir"] = args.checkpoint_dir
     if args.heuristic_size:
         kwargs["size"] = args.heuristic_size
-    if args.deterministic:
+    if args.deterministic or args.detector_quant or args.verify_image_size:
         from tstar_tpu.utils.config import SearchConfig
 
-        kwargs["config"] = SearchConfig(deterministic_pop=True)
+        kwargs["config"] = SearchConfig(
+            deterministic_pop=args.deterministic,
+            detector_quant=args.detector_quant,
+            verify_image_size=args.verify_image_size,
+        )
     results = run_tstar(
         video_path=args.video_path,
         question=args.question,
