@@ -92,6 +92,34 @@ class TestSearchVideos:
         saved = json.load(open(out))
         assert len(saved) == 2
 
+    def test_batched_runner_uses_batched_grounding(self, videos, tmp_path):
+        from tstar_tpu.bench.runner import run_dataset_batched
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        dataset = [
+            {"video_id": f"v{i}", "video_path": p, "question": "q?",
+             "options": ""}
+            for i, p in enumerate(videos)
+        ]
+        g = FakeGrounder(target_objects=["couch"], cue_objects=["tv"])
+        run_dataset_batched(
+            dataset, g, _tiny_heuristic(), str(tmp_path / "bg.json"),
+            batch_videos=2, search_budget=0.5, confidence_threshold=0.6,
+        )
+        kinds = [c["kind"] for c in g.calls]
+        assert "grounding_batch" in kinds and "grounding" not in kinds
+
+    def test_facade_grounding_batch_fallback_and_errors(self, videos):
+        from tstar_tpu.grounding.universal import UniversalGrounder
+
+        g = UniversalGrounder(model_name="fake")   # FakeVLM: no batch API
+        out = g.inference_query_grounding_batch([
+            {"video_path": videos[0], "question": "q?", "options": ""},
+            {"video_path": "/nonexistent.mp4", "question": "q?", "options": ""},
+        ])
+        assert out[0] == (["couch"], ["tv", "chair"])
+        assert isinstance(out[1], Exception)
+
     def test_batched_runner_rejects_table_backends(self, videos, tmp_path):
         from tstar_tpu.bench.runner import run_dataset_batched
         from tstar_tpu.framework.heuristics import initialize_heuristic

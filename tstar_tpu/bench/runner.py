@@ -106,31 +106,62 @@ def run_dataset_batched(
             f"is not supported — use the serial runner"
         )
 
-    # stage 1: serial grounding (network / VLM bound) + video probing
+    # stage 1: grounding (VLM/API bound; batched across items when the
+    # grounder supports it — JAX backends share prefill/decode forwards) +
+    # per-item video probing
+    from tstar_tpu.video.decoder import open_video
+
     tasks, rows = [], []
+    probed: List[int] = []
     for idx, item in enumerate(dataset):
         row = dict(item)
+        row["error"] = None
         try:
-            from tstar_tpu.video.decoder import open_video
-
             open_video(item["video_path"]).close()   # fail fast per item
-            targets, cues = grounder.inference_query_grounding(
-                video_path=item["video_path"],
-                question=item["question"],
-                options=item.get("options", ""),
-            )
-            row["grounding_objects"] = {
+            probed.append(idx)
+        except Exception as e:  # noqa: BLE001
+            logger.error("probe failed for %s: %s", item.get("video_id"), e)
+            row["error"] = f"{type(e).__name__}: {e}"
+        tasks.append(None)
+        rows.append(row)
+
+    batch_ground = getattr(grounder, "inference_query_grounding_batch", None)
+    for start in range(0, len(probed), batch_videos):
+        chunk = probed[start : start + batch_videos]
+        if batch_ground is not None:
+            grounded = batch_ground([
+                {
+                    "video_path": dataset[i]["video_path"],
+                    "question": dataset[i]["question"],
+                    "options": dataset[i].get("options", ""),
+                }
+                for i in chunk
+            ])
+        else:
+            grounded = []
+            for i in chunk:
+                try:
+                    grounded.append(grounder.inference_query_grounding(
+                        video_path=dataset[i]["video_path"],
+                        question=dataset[i]["question"],
+                        options=dataset[i].get("options", ""),
+                    ))
+                except Exception as e:  # noqa: BLE001
+                    grounded.append(e)
+        for i, res in zip(chunk, grounded):
+            if isinstance(res, Exception):
+                logger.error(
+                    "grounding failed for %s: %s", dataset[i].get("video_id"), res
+                )
+                rows[i]["error"] = f"{type(res).__name__}: {res}"
+                continue
+            targets, cues = res
+            rows[i]["grounding_objects"] = {
                 "target_objects": targets, "cue_objects": cues
             }
-            tasks.append(
-                VideoTask(item["video_path"], targets, cues, seed=seed + idx)
+            tasks[i] = VideoTask(
+                dataset[i]["video_path"], targets, cues, seed=seed + i
             )
-            row["error"] = None
-        except Exception as e:  # noqa: BLE001
-            logger.error("grounding failed for %s: %s", item.get("video_id"), e)
-            row["error"] = f"{type(e).__name__}: {e}"
-            tasks.append(None)
-        rows.append(row)
 
     # stage 2: batched searches
     live = [(i, t) for i, t in enumerate(tasks) if t is not None]

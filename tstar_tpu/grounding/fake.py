@@ -57,6 +57,15 @@ class FakeGrounder:
         self.calls.append({"kind": "grounding", "question": question})
         return list(self.target_objects), list(self.cue_objects)
 
+    def inference_query_grounding_batch(self, requests, **kw):
+        self.calls.append(
+            {"kind": "grounding_batch", "batch": len(requests)}
+        )
+        return [
+            (list(self.target_objects), list(self.cue_objects))
+            for _ in requests
+        ]
+
     def inference_qa(self, frames, question: str, options: str, **kw) -> str:
         self.calls.append(
             {"kind": "qa", "question": question, "num_frames": len(frames)}

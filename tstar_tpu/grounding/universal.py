@@ -78,6 +78,69 @@ class UniversalGrounder:
         )
         return parse_grounding_response(response)
 
+    def inference_query_grounding_batch(
+        self,
+        requests,            # sequence of dicts: {video_path, question, options}
+        temperature: float = 0.0,
+        max_tokens: int = 512,
+    ) -> List:
+        """Ground many (video, question) items at once (ours; the reference
+        grounds strictly serially, run_TStar_onDataset.py:195-205).
+
+        Returns one entry per request: ``(targets, cues)`` on success or the
+        per-item ``Exception`` on failure (frame decode or response parse) —
+        callers keep per-item failure semantics.  Uses the backend's batched
+        path when present; a batch-level failure falls back to serial calls.
+        """
+        frames_list, prompts, errors = [], [], {}
+        for i, req in enumerate(requests):
+            try:
+                frames = load_video_frames(
+                    req["video_path"], num_frames=self.num_frames
+                )
+                frames_list.append(frames)
+                prompts.append(build_grounding_prompt(
+                    req["question"], req.get("options"), len(frames)
+                ))
+            except Exception as e:  # noqa: BLE001 — per-item failure
+                errors[i] = e
+                frames_list.append(None)
+                prompts.append(None)
+
+        ok = [i for i in range(len(requests)) if i not in errors]
+        responses = {}
+        batch_fn = getattr(self.backend, "inference_with_frames_batch", None)
+        if batch_fn is not None and len(ok) > 1:
+            try:
+                outs = batch_fn(
+                    [prompts[i] for i in ok], [frames_list[i] for i in ok],
+                    temperature=temperature, max_tokens=max_tokens,
+                )
+                responses = dict(zip(ok, outs))
+            except Exception as e:  # noqa: BLE001 — fall back to serial
+                logger.error("batched grounding failed (%s); retrying serially", e)
+        for i in ok:
+            if i in responses:
+                continue
+            try:
+                responses[i] = self.backend.inference_with_frames(
+                    query=prompts[i], frames=frames_list[i],
+                    temperature=temperature, max_tokens=max_tokens,
+                )
+            except Exception as e:  # noqa: BLE001
+                errors[i] = e
+
+        results: List = []
+        for i in range(len(requests)):
+            if i in errors:
+                results.append(errors[i])
+                continue
+            try:
+                results.append(parse_grounding_response(responses[i]))
+            except Exception as e:  # noqa: BLE001 — strict 2-line parse
+                results.append(e)
+        return results
+
     def inference_qa(
         self,
         frames,
