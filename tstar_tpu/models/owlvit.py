@@ -204,18 +204,28 @@ class ClassHead(nn.Module):
     def __call__(
         self, image_feats: jax.Array, query_embeds: jax.Array, query_mask: Optional[jax.Array]
     ) -> jax.Array:
+        """query_embeds (Q, D) shared across the image batch, or (B, Q, D)
+        per-image query sets (the flat multi-video detector batch); the
+        query_mask rank follows (``(Q,)`` or ``(B, Q)``)."""
         img = nn.Dense(self.out_dim, dtype=self.dtype, name="dense0")(image_feats)
         img = img / (jnp.linalg.norm(img, axis=-1, keepdims=True) + 1e-6)
         q = query_embeds / (jnp.linalg.norm(query_embeds, axis=-1, keepdims=True) + 1e-6)
-        logits = jnp.einsum("bpd,qd->bpq", img, q.astype(img.dtype))
+        if query_embeds.ndim == 3:
+            logits = jnp.einsum("bpd,bqd->bpq", img, q.astype(img.dtype))
+        else:
+            logits = jnp.einsum("bpd,qd->bpq", img, q.astype(img.dtype))
 
         shift = nn.Dense(1, dtype=self.dtype, name="logit_shift")(image_feats)
         scale = nn.Dense(1, dtype=self.dtype, name="logit_scale")(image_feats)
         scale = nn.elu(scale) + 1.0
         logits = (logits + shift) * scale
         if query_mask is not None:
+            mask = (
+                query_mask[:, None, :] if query_mask.ndim == 2
+                else query_mask[None, None, :]
+            )
             neg = jnp.finfo(jnp.float32).min
-            logits = jnp.where(query_mask[None, None, :], logits, neg)
+            logits = jnp.where(mask, logits, neg)
         return logits.astype(jnp.float32)
 
 

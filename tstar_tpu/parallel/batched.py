@@ -74,17 +74,132 @@ def _active(states: SearchState) -> jax.Array:
     return jnp.any(states.remaining, axis=-1) & (states.budget > 0)
 
 
+def _batched_verification(
+    scores: jax.Array,      # (B, N)
+    remaining: jax.Array,   # (B, T)
+    secs: jax.Array,        # (B, K)
+    presence: jax.Array,    # (B, K, C)
+    scorer,
+    config: SearchConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """Multi-video counterpart of engine._apply_verification, with the
+    verification forwards FLAT over videos x frames (scorer.score_verify_batch)
+    and the reference replay loop vmapped.  Exactness argument is the same as
+    the single-video bucketed form: non-candidate frames' rescore values are
+    never read by the replay, so per-video extra rescores (videos with fewer
+    candidates than the round count implies) are harmless."""
+    t_max = config.max_targets
+    b, k_frames = secs.shape
+    target_presence = presence[..., :t_max]
+    candidate = jnp.any(target_presence & remaining[:, None, :], axis=-1)  # (B,K)
+    may_trigger = jnp.any(candidate)
+
+    t_bucket = config.verify_batch or k_frames
+    t_bucket = min(t_bucket, k_frames)
+
+    def do_verify(args):
+        scores, remaining = args
+        if t_bucket >= k_frames:
+            vconf, vpres = scorer.score_verify_batch(secs)
+            vpres_t = vpres[..., :t_max]
+        else:
+            order = jnp.argsort(~candidate, axis=1, stable=True)   # (B, K)
+            n_cand = jnp.sum(candidate.astype(jnp.int32), axis=1)  # (B,)
+            rounds_needed = jnp.max(n_cand)
+            vconf0 = jnp.zeros((b, k_frames), jnp.float32)
+            vpres0 = jnp.zeros((b, k_frames, t_max), bool)
+
+            def cond(carry):
+                r, *_ = carry
+                return r * t_bucket < rounds_needed
+
+            def body(carry):
+                r, vconf, vpres_t = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    order, r * t_bucket, t_bucket, axis=1
+                )                                               # (B, t)
+                sub = jnp.take_along_axis(secs, idx, axis=1)    # (B, t)
+                c, p = scorer.score_verify_batch(sub)
+                upd = jax.vmap(lambda v, i, x: v.at[i].set(x))
+                vconf = upd(vconf, idx, c)
+                vpres_t = upd(vpres_t, idx, p[..., :t_max])
+                return r + 1, vconf, vpres_t
+
+            _, vconf, vpres_t = jax.lax.while_loop(
+                cond, body, (jnp.int32(0), vconf0, vpres0)
+            )
+
+        from tstar_tpu.search.engine import verification_replay
+
+        return jax.vmap(
+            lambda s, rm, se, tp, vc, vp: verification_replay(
+                s, rm, se, tp, vc, vp, config
+            )
+        )(scores, remaining, secs, target_presence, vconf, vpres_t)
+
+    return jax.lax.cond(
+        may_trigger, do_verify, lambda args: args, (scores, remaining)
+    )
+
+
+def _flat_batched_step(
+    states: SearchState, scorer, config: SearchConfig
+) -> SearchState:
+    """One multi-video step with FLAT detector batches (no vmapped forwards).
+
+    The search math (sampling, splat, smoother, replay) vmaps over videos —
+    those are cheap vector ops — but every detector forward runs as one flat
+    image batch via the scorer's *_batch methods.  Device-trace finding (r2):
+    vmapping the whole step turned attention into 5D dots that XLA lowers at
+    a fraction of MXU speed; flattening restores ordinary 4D attention."""
+    from tstar_tpu.search.engine import apply_grid_scores, sample_frame_secs
+
+    k = config.frames_per_iteration
+    keys = jax.vmap(jax.random.split)(states.rng)        # (B, 2)
+    rng, sample_key = keys[:, 0], keys[:, 1]
+
+    secs = jax.vmap(
+        lambda st, key: sample_frame_secs(st, key, config)
+    )(states, sample_key)                                 # (B, K)
+    budget = states.budget - k
+
+    conf, presence = scorer.score_grid_batch(secs)        # flat forward
+    scores, visited, p, _ = jax.vmap(
+        lambda st, se, co: apply_grid_scores(st, se, co, config)
+    )(states, secs, conf)
+
+    scores, remaining = _batched_verification(
+        scores, states.remaining, secs, presence, scorer, config
+    )
+    return states.replace(
+        scores=scores,
+        visited=visited,
+        P=p,
+        remaining=remaining,
+        budget=budget,
+        iteration=states.iteration + 1,
+        rng=rng,
+    )
+
+
 def batched_search_step(
     states: SearchState, scorer, config: SearchConfig, in_axes=None
 ) -> SearchState:
-    """One masked, vmapped step across the video batch."""
-    axes = in_axes if in_axes is not None else scorer_batch_axes(scorer)
+    """One masked step across the video batch.
+
+    Detector scorers with flat-batch methods (OwlVitScorer) take the
+    flat-forward path; others fall back to vmapping the single-video step."""
     active = _active(states)
 
-    def one(state, sc):
-        return search_step(state, sc, config)[0]
+    if hasattr(scorer, "score_grid_batch"):
+        stepped = _flat_batched_step(states, scorer, config)
+    else:
+        axes = in_axes if in_axes is not None else scorer_batch_axes(scorer)
 
-    stepped = jax.vmap(one, in_axes=(0, axes))(states, scorer)
+        def one(state, sc):
+            return search_step(state, sc, config)[0]
+
+        stepped = jax.vmap(one, in_axes=(0, axes))(states, scorer)
 
     def select(new, old):
         mask = active.reshape(active.shape + (1,) * (new.ndim - 1))

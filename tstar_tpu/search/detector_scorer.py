@@ -76,7 +76,8 @@ class OwlVitScorer:
 
     @property
     def num_classes(self) -> int:
-        return self.query_embeds.shape[0]
+        # query_embeds is (Q, proj) single-video or (B, Q, proj) stacked
+        return self.query_embeds.shape[-2]
 
     @property
     def detection_image_size(self) -> int:
@@ -84,11 +85,16 @@ class OwlVitScorer:
         return self.model.cfg.vision.image_size
 
     def _detect(
-        self, pixels: jax.Array, model=None, variables=None, qvision=None
+        self, pixels: jax.Array, model=None, variables=None, qvision=None,
+        query_embeds=None, query_mask=None,
     ) -> Tuple[jax.Array, jax.Array, jax.Array]:
         model = model or self.model
         variables = variables if variables is not None else self.variables
         qvision = qvision if qvision is not None else self.qvision
+        query_embeds = (
+            query_embeds if query_embeds is not None else self.query_embeds
+        )
+        query_mask = query_mask if query_mask is not None else self.query_mask
         if qvision is not None:
             from tstar_tpu.models.owlvit_quant import encode_image_int8
 
@@ -100,7 +106,7 @@ class OwlVitScorer:
                 variables, pixels, method=OwlViTDetector.encode_image
             )
         logits, boxes = model.apply(
-            variables, feats, self.query_embeds, self.query_mask,
+            variables, feats, query_embeds, query_mask,
             method=OwlViTDetector.predict,
         )
         size = model.cfg.vision.image_size
@@ -159,6 +165,82 @@ class OwlVitScorer:
     @property
     def _verify_model(self) -> OwlViTDetector:
         return self.verify_model or self.model
+
+    # ---- flat multi-video batch (leading video axis on cache/query fields;
+    # see parallel/batched.stack_scorers) ------------------------------------
+    #
+    # Under jax.vmap the attention einsums become 5D dot_generals that XLA's
+    # TPU emitters lower very poorly (device trace r2: the AV matmul ran 7x
+    # slower per image than the unbatched form).  These methods instead
+    # FLATTEN videos x frames into one detector batch axis — the MXU sees
+    # ordinary 4D attention — and vmap only the cheap gather/splat ends.
+
+    def score_grid_batch(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(B, K) sampled seconds -> (conf (B, K), presence (B, K, C)).
+
+        One grid image per video, scored in a single flat detector forward
+        with per-video query embeddings."""
+        cfg = self.config
+        grid_shape = (cfg.grid_rows, cfg.grid_cols)
+        size = self.model.cfg.vision.image_size
+        pixels = jax.vmap(
+            lambda cache, s: build_detector_grid(
+                cache, s, grid_shape, size, dtype=self.model.dtype
+            )[0]
+        )(self.cache, secs)                                   # (B, S, S, 3)
+        scores, class_ids, boxes = self._detect(pixels)      # queries (B,Q,D)
+        keep = scores > cfg.detector_threshold
+
+        def one(b, s, c, k, w):
+            conf_map, presence = splat_detections_to_cells(
+                b, s, c, k, w, grid_shape=grid_shape, image_hw=(size, size),
+                num_classes=self.num_classes,
+            )
+            return conf_map.reshape(-1), presence
+
+        return jax.vmap(one)(boxes, scores, class_ids, keep, self.class_weights)
+
+    def score_verify_batch(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(B, T) frame seconds -> (conf (B, T), presence (B, T, C)).
+
+        Gathers per-video frames, then runs ONE flat (B*T)-image verification
+        forward (reduced-resolution view when configured)."""
+        b, t = secs.shape
+        size = self._verify_model.cfg.vision.image_size
+        pixels = jax.vmap(
+            lambda cache, s: build_verify_batch(
+                cache, s, size, dtype=self.model.dtype
+            )
+        )(self.cache, secs)                                  # (B, T, S, S, 3)
+        flat = pixels.reshape(b * t, *pixels.shape[2:])
+        qe = jnp.repeat(self.query_embeds, t, axis=0)        # (B*T, Q, D)
+        qm = jnp.repeat(self.query_mask, t, axis=0)
+        scores, class_ids, boxes = self._detect(
+            flat,
+            model=self._verify_model,
+            variables=(
+                self.verify_variables
+                if self.verify_variables is not None else self.variables
+            ),
+            qvision=(
+                self.qvision_verify
+                if self.qvision_verify is not None else self.qvision
+            ),
+            query_embeds=qe,
+            query_mask=qm,
+        )
+        keep = scores > self.config.detector_threshold
+        cw = jnp.repeat(self.class_weights, t, axis=0)       # (B*T, Q)
+
+        def one(bx, s, c, k, w):
+            conf_map, presence = splat_detections_to_cells(
+                bx, s, c, k, w, grid_shape=(1, 1), image_hw=(size, size),
+                num_classes=self.num_classes,
+            )
+            return conf_map[0, 0], presence[0]
+
+        conf, presence = jax.vmap(one)(boxes, scores, class_ids, keep, cw)
+        return conf.reshape(b, t), presence.reshape(b, t, -1)
 
     def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         size = self._verify_model.cfg.vision.image_size

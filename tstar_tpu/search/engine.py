@@ -82,6 +82,36 @@ def _percentile_static(x: jax.Array, q: float) -> jax.Array:
     return s[lo] * (1.0 - frac) + s[hi] * frac
 
 
+def verification_replay(
+    scores: jax.Array,
+    remaining: jax.Array,
+    secs: jax.Array,            # (K,)
+    target_presence: jax.Array,  # (K, T) grid presence of target slots
+    vconf: jax.Array,           # (K,) verification confidences
+    vpres_t: jax.Array,         # (K, T) verification presence of target slots
+    config: SearchConfig,
+) -> Tuple[jax.Array, jax.Array]:
+    """The reference's per-frame removal loop with rescore values precomputed
+    (interface_searcher.py:399-419): triggered frames overwrite their score,
+    and at most the FIRST remaining passing target per frame is removed."""
+    k_frames = secs.shape[0]
+
+    def body(k, carry):
+        scores, remaining = carry
+        in_cell = target_presence[k] & remaining
+        triggered = jnp.any(in_cell)
+        scores = jnp.where(
+            triggered, scores.at[secs[k]].set(vconf[k]), scores
+        )
+        passing = in_cell & vpres_t[k] & (vconf[k] > config.confidence_threshold)
+        first = jnp.argmax(passing)
+        removed = remaining.at[first].set(False)
+        remaining = jnp.where(jnp.any(passing), removed, remaining)
+        return scores, remaining
+
+    return jax.lax.fori_loop(0, k_frames, body, (scores, remaining))
+
+
 def _apply_verification(
     scores: jax.Array,
     remaining: jax.Array,
@@ -109,22 +139,9 @@ def _apply_verification(
     t_bucket = min(t_bucket, k_frames)
 
     def replay(scores, remaining, vconf, vpres_t):
-        """The reference's per-frame removal loop (values precomputed)."""
-
-        def body(k, carry):
-            scores, remaining = carry
-            in_cell = target_presence[k] & remaining
-            triggered = jnp.any(in_cell)
-            scores = jnp.where(
-                triggered, scores.at[secs[k]].set(vconf[k]), scores
-            )
-            passing = in_cell & vpres_t[k] & (vconf[k] > config.confidence_threshold)
-            first = jnp.argmax(passing)
-            removed = remaining.at[first].set(False)
-            remaining = jnp.where(jnp.any(passing), removed, remaining)
-            return scores, remaining
-
-        return jax.lax.fori_loop(0, k_frames, body, (scores, remaining))
+        return verification_replay(
+            scores, remaining, secs, target_presence, vconf, vpres_t, config
+        )
 
     def do_verify_full(args):
         scores, remaining = args
@@ -171,6 +188,24 @@ def _apply_verification(
     )
 
 
+def apply_grid_scores(
+    state: SearchState, secs: jax.Array, conf: jax.Array, config: SearchConfig
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pure state math after a grid scoring: visited marks + raw writes
+    (interface_searcher.py:308-311), windowed top-quartile splat (:215-241),
+    smoother refit (:314-318).  Returns (scores, visited, P, is_top);
+    vmappable (used as-is by the flat-batched multi-video step)."""
+    scores = state.scores.at[secs].set(conf)
+    visited = state.visited.at[secs].set(True)
+    thr = _percentile_static(conf, config.top_percentile)
+    is_top = conf >= thr
+    scores = window_splat(scores, secs, is_top, state.n_valid, config.window_size)
+    p = smoothing_spline_distribution(
+        scores, visited, state.valid, state.n_valid, smoothing=config.spline_smoothing
+    )
+    return scores, visited, p, is_top
+
+
 def search_step(
     state: SearchState, scorer: Scorer, config: SearchConfig,
     collect_detections: bool = False,
@@ -197,19 +232,7 @@ def search_step(
     else:
         conf, presence = scorer.score_grid(secs)
 
-    # Mark visited, write raw scores (interface_searcher.py:308-311).
-    scores = state.scores.at[secs].set(conf)
-    visited = state.visited.at[secs].set(True)
-
-    # Windowed top-quartile splat (:215-241) — all K batch entries are valid.
-    thr = _percentile_static(conf, config.top_percentile)
-    is_top = conf >= thr
-    scores = window_splat(scores, secs, is_top, state.n_valid, config.window_size)
-
-    # Refit the sampling distribution (:314-318) BEFORE verification.
-    p = smoothing_spline_distribution(
-        scores, visited, state.valid, state.n_valid, smoothing=config.spline_smoothing
-    )
+    scores, visited, p, is_top = apply_grid_scores(state, secs, conf, config)
 
     # Verification may overwrite scores and remove targets (:481-486).
     remaining = state.remaining
