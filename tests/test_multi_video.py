@@ -92,6 +92,65 @@ class TestSearchVideos:
         saved = json.load(open(out))
         assert len(saved) == 2
 
+    def test_flat_batched_equals_single_video(self):
+        """The flat-batch step (one detector forward across videos) must
+        reproduce each video's single-scorer search exactly, seed for seed."""
+        import jax
+        import jax.numpy as jnp
+
+        from tstar_tpu.models.clip_tokenizer import HashTokenizer
+        from tstar_tpu.models.owlvit import OwlViTConfig, OwlViTDetector, TextConfig, VisionConfig
+        from tstar_tpu.parallel.batched import run_search_batched, stack_scorers
+        from tstar_tpu.search.detector_scorer import make_owlvit_scorer
+        from tstar_tpu.search.engine import run_search
+        from tstar_tpu.search.state import init_state
+
+        tiny = OwlViTConfig(
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                                intermediate_size=64, patch_size=16, image_size=64),
+            text=TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
+                            num_heads=4, intermediate_size=48, max_length=8),
+            projection_dim=24,
+        )
+        cfg = SearchConfig(search_budget=0.5, detector_threshold=0.4)
+        model = OwlViTDetector(tiny, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((2, 8), jnp.int32),
+        )
+        tok = HashTokenizer(vocab_size=100, context=8)
+        rng = np.random.default_rng(7)
+        n_valid, n_pad = 120, cfg.padded_frames(120)
+        scorers, states = [], []
+        for i in range(2):
+            cache = jnp.asarray(
+                rng.integers(0, 256, (n_pad, 20, 40, 3), dtype=np.uint8)
+            )
+            scorers.append(make_owlvit_scorer(
+                model, variables, cache, ["couch"], ["tv"], tok, cfg
+            ))
+            states.append(init_state(n_valid, 1, cfg, jax.random.key(40 + i),
+                                     n_pad=n_pad))
+
+        singles = [
+            jax.jit(run_search, static_argnums=2)(st, sc, cfg)
+            for st, sc in zip(states, scorers)
+        ]
+        batched_scorer = stack_scorers(scorers, cfg)
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        finals, secs_b = jax.jit(run_search_batched, static_argnums=2)(
+            stacked, batched_scorer, cfg
+        )
+        for i, (final_i, secs_i) in enumerate(singles):
+            np.testing.assert_array_equal(np.asarray(secs_b)[i], np.asarray(secs_i))
+            np.testing.assert_allclose(
+                np.asarray(finals.scores)[i], np.asarray(final_i.scores),
+                rtol=1e-5, atol=1e-6,
+            )
+            np.testing.assert_array_equal(
+                np.asarray(finals.remaining)[i], np.asarray(final_i.remaining)
+            )
+
     def test_batched_runner_uses_batched_grounding(self, videos, tmp_path):
         from tstar_tpu.bench.runner import run_dataset_batched
         from tstar_tpu.grounding.fake import FakeGrounder

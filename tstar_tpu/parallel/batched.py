@@ -103,31 +103,40 @@ def _batched_verification(
             vconf, vpres = scorer.score_verify_batch(secs)
             vpres_t = vpres[..., :t_max]
         else:
-            order = jnp.argsort(~candidate, axis=1, stable=True)   # (B, K)
-            n_cand = jnp.sum(candidate.astype(jnp.int32), axis=1)  # (B,)
-            rounds_needed = jnp.max(n_cand)
-            vconf0 = jnp.zeros((b, k_frames), jnp.float32)
-            vpres0 = jnp.zeros((b, k_frames, t_max), bool)
+            # GLOBAL flat bucketing: candidates from all videos form one
+            # list, rescored t_bucket images per forward — the verification
+            # work is proportional to the TOTAL candidate count, not
+            # B x max-per-video (videos without candidates cost nothing).
+            flat_cand = candidate.reshape(-1)                  # (B*K,)
+            order = jnp.argsort(~flat_cand, stable=True)       # global idx
+            n_cand = jnp.sum(flat_cand.astype(jnp.int32))
+            flat_secs = secs.reshape(-1)
+            vconf0 = jnp.zeros((b * k_frames,), jnp.float32)
+            vpres0 = jnp.zeros((b * k_frames, t_max), bool)
 
             def cond(carry):
                 r, *_ = carry
-                return r * t_bucket < rounds_needed
+                return r * t_bucket < n_cand
 
             def body(carry):
                 r, vconf, vpres_t = carry
                 idx = jax.lax.dynamic_slice_in_dim(
-                    order, r * t_bucket, t_bucket, axis=1
-                )                                               # (B, t)
-                sub = jnp.take_along_axis(secs, idx, axis=1)    # (B, t)
-                c, p = scorer.score_verify_batch(sub)
-                upd = jax.vmap(lambda v, i, x: v.at[i].set(x))
-                vconf = upd(vconf, idx, c)
-                vpres_t = upd(vpres_t, idx, p[..., :t_max])
+                    order, r * t_bucket, t_bucket
+                )                                              # (t,)
+                c, p = scorer.score_verify_flat(
+                    idx // k_frames, flat_secs[idx]
+                )
+                # final-round extras land on non-candidate slots the replay
+                # never reads — exactness unchanged
+                vconf = vconf.at[idx].set(c)
+                vpres_t = vpres_t.at[idx].set(p[:, :t_max])
                 return r + 1, vconf, vpres_t
 
             _, vconf, vpres_t = jax.lax.while_loop(
                 cond, body, (jnp.int32(0), vconf0, vpres0)
             )
+            vconf = vconf.reshape(b, k_frames)
+            vpres_t = vpres_t.reshape(b, k_frames, t_max)
 
         from tstar_tpu.search.engine import verification_replay
 

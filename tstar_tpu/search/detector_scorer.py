@@ -200,6 +200,46 @@ class OwlVitScorer:
 
         return jax.vmap(one)(boxes, scores, class_ids, keep, self.class_weights)
 
+    def score_verify_flat(
+        self, video_idx: jax.Array, secs: jax.Array
+    ) -> Tuple[jax.Array, jax.Array]:
+        """Cross-video flat verification: (W,) video indices + (W,) seconds
+        -> (conf (W,), presence (W, C)).  Stacked scorer only.  Lets the
+        batched search rescore exactly the candidate (video, frame) pairs,
+        W per forward, instead of per-video buckets padded across the batch."""
+        from tstar_tpu.kernels.image import bilinear_resize, normalize_clip
+
+        size = self._verify_model.cfg.vision.image_size
+        frames = self.cache[video_idx, secs]               # (W, h, w, 3)
+        pixels = normalize_clip(
+            bilinear_resize(frames, (size, size)), self.model.dtype
+        )
+        scores, class_ids, boxes = self._detect(
+            pixels,
+            model=self._verify_model,
+            variables=(
+                self.verify_variables
+                if self.verify_variables is not None else self.variables
+            ),
+            qvision=(
+                self.qvision_verify
+                if self.qvision_verify is not None else self.qvision
+            ),
+            query_embeds=self.query_embeds[video_idx],     # (W, Q, D)
+            query_mask=self.query_mask[video_idx],
+        )
+        keep = scores > self.config.detector_threshold
+        cw = self.class_weights[video_idx]
+
+        def one(bx, s, c, k, w):
+            conf_map, presence = splat_detections_to_cells(
+                bx, s, c, k, w, grid_shape=(1, 1), image_hw=(size, size),
+                num_classes=self.num_classes,
+            )
+            return conf_map[0, 0], presence[0]
+
+        return jax.vmap(one)(boxes, scores, class_ids, keep, cw)
+
     def score_verify_batch(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
         """(B, T) frame seconds -> (conf (B, T), presence (B, T, C)).
 
