@@ -232,6 +232,55 @@ class TestQAEval:
         assert acc2 == 1.0
         assert not [c for c in vlm.calls if c["kind"] == "qa"]
 
+    def test_resume_keys_on_video_and_question(self, search_results, tmp_path):
+        """Two questions on the SAME video must not share cached answers
+        (the reference keys resume rows on video_path alone)."""
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        _, data = search_results
+        q2 = dict(data[0])
+        q2["question"] = "Is there a lamp?"
+        rows = [dict(data[0]), q2]
+        out = str(tmp_path / "qa_keys.jsonl")
+        vlm = FakeGrounder(qa_answer="B")
+        acc, results = compute_qa_accuracy(
+            rows, vlm, sampling_type="TStar", output_file=out
+        )
+        assert len(results) == 2
+        qa_questions = [
+            c["question"] for c in vlm.calls if c["kind"] == "qa"
+        ] + sum(
+            (c["questions"] for c in vlm.calls if c["kind"] == "qa_batch"), []
+        )
+        assert len(qa_questions) == 2            # both evaluated, not aliased
+        # resume: nothing re-evaluated, both rows found under distinct keys
+        vlm2 = FakeGrounder(qa_answer="A")
+        acc2, results2 = compute_qa_accuracy(
+            rows, vlm2, sampling_type="TStar", output_file=out
+        )
+        assert acc2 == acc == 1.0 and len(results2) == 2
+        assert not [c for c in vlm2.calls if c["kind"] in ("qa", "qa_batch")]
+
+    def test_resume_preserves_accuracy_denominator(self, search_results, tmp_path):
+        """A resumed run must report the same accuracy as the fresh run:
+        failure rows stay out of the denominator."""
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        _, data = search_results
+        bad = dict(data[0])
+        bad["video_path"] = str(tmp_path / "gone.mp4")
+        rows = [dict(data[0]), bad]
+        out = str(tmp_path / "qa_denom.jsonl")
+        acc1, _ = compute_qa_accuracy(
+            rows, FakeGrounder(qa_answer="B"), sampling_type="TStar",
+            output_file=out,
+        )
+        acc2, _ = compute_qa_accuracy(
+            rows, FakeGrounder(qa_answer="B"), sampling_type="TStar",
+            output_file=out,
+        )
+        assert acc1 == acc2 == 1.0
+
     def test_batched_qa_matches_serial(self, search_results, tmp_path):
         from tstar_tpu.grounding.fake import FakeGrounder
 

@@ -168,6 +168,28 @@ class TestSearchVideos:
         kinds = [c["kind"] for c in g.calls]
         assert "grounding_batch" in kinds and "grounding" not in kinds
 
+    def test_batched_runner_survives_raising_batch_grounder(self, videos, tmp_path):
+        """A grounder whose batch API raises (instead of returning per-item
+        exceptions) must not kill the run — it falls back to serial."""
+        from tstar_tpu.bench.runner import run_dataset_batched
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        class RaisingBatch(FakeGrounder):
+            def inference_query_grounding_batch(self, requests, **kw):
+                raise RuntimeError("network down")
+
+        dataset = [
+            {"video_id": f"v{i}", "video_path": p, "question": "q?",
+             "options": ""}
+            for i, p in enumerate(videos)
+        ]
+        res = run_dataset_batched(
+            dataset, RaisingBatch(target_objects=["couch"], cue_objects=["tv"]),
+            _tiny_heuristic(), str(tmp_path / "rg.json"),
+            batch_videos=2, search_budget=0.5, confidence_threshold=0.6,
+        )
+        assert len(res) == 2  # all items grounded via the serial fallback
+
     def test_facade_grounding_batch_fallback_and_errors(self, videos):
         from tstar_tpu.grounding.universal import UniversalGrounder
 

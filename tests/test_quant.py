@@ -176,6 +176,23 @@ class TestQuantScorer:
         assert lyr["qkv"]["w"].shape == (32, 96)   # fused (D, 3D)
         assert lyr["fc1"]["w"].dtype == jnp.int8
 
+    def test_weight_views_cached_across_scorers(self):
+        """Per-video build_scorer calls with shared weights must not
+        re-quantize the tower (the batched runner builds one scorer per
+        video)."""
+        cfg = SearchConfig(search_budget=0.5, detector_quant="int8")
+        model = OwlViTDetector(TINY, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((2, 8), jnp.int32),
+        )
+        tok = HashTokenizer(vocab_size=100, context=8)
+        cache = jnp.zeros((128, 20, 40, 3), jnp.uint8)
+        s1 = make_owlvit_scorer(model, variables, cache, ["a"], [], tok, cfg)
+        s2 = make_owlvit_scorer(model, variables, cache, ["b"], ["c"], tok, cfg)
+        assert s1.qvision is s2.qvision
+
     def test_rejects_unknown_quant(self):
         cfg = SearchConfig(detector_quant="int4")
         model = OwlViTDetector(TINY, dtype=jnp.float32)

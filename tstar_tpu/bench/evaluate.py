@@ -191,6 +191,12 @@ def compute_qa_accuracy(
             f"sampling_type '{sampling_type}' not in [uniform, TStar]"
         )
 
+    # Resume rows key on (video_path, question): one video commonly carries
+    # several questions (the reference keys on video_path alone and would
+    # misattribute cached answers across questions, val_qa_results.py:219).
+    def _key(it):
+        return f"{it.get('video_path', '')}||{it.get('question', '')}"
+
     existing: Dict[str, Dict] = {}
     if os.path.exists(output_file):
         logger.info("resuming from %s", output_file)
@@ -198,7 +204,7 @@ def compute_qa_accuracy(
             for line in f:
                 if line.strip():
                     it = json.loads(line)
-                    existing[it["video_path"]] = it
+                    existing[_key(it)] = it
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -206,11 +212,16 @@ def compute_qa_accuracy(
     pending: List[int] = []
     correct = total = 0
     for idx, item in enumerate(result_data):
-        done = existing.get(item.get("video_path"))
+        done = existing.get(_key(item))
         if done is not None:
             results[idx] = done
-            correct += bool(done.get("correct"))
-            total += 1
+            # failure rows never count toward the accuracy denominator —
+            # same rule as fresh failures below (a resume must not change
+            # the reported metric)
+            pred = str(done.get(f"{sampling_type}_pred_answer", ""))
+            if not pred.startswith("failed:"):
+                correct += bool(done.get("correct"))
+                total += 1
         else:
             pending.append(idx)
 

@@ -128,16 +128,26 @@ def run_dataset_batched(
     batch_ground = getattr(grounder, "inference_query_grounding_batch", None)
     for start in range(0, len(probed), batch_videos):
         chunk = probed[start : start + batch_videos]
+        grounded = None
         if batch_ground is not None:
-            grounded = batch_ground([
-                {
-                    "video_path": dataset[i]["video_path"],
-                    "question": dataset[i]["question"],
-                    "options": dataset[i].get("options", ""),
-                }
-                for i in chunk
-            ])
-        else:
+            try:
+                grounded = batch_ground([
+                    {
+                        "video_path": dataset[i]["video_path"],
+                        "question": dataset[i]["question"],
+                        "options": dataset[i].get("options", ""),
+                    }
+                    for i in chunk
+                ])
+                if len(grounded) != len(chunk):
+                    raise ValueError(
+                        f"batched grounding returned {len(grounded)} results "
+                        f"for {len(chunk)} items"
+                    )
+            except Exception as e:  # noqa: BLE001 — fall back to serial
+                logger.error("batched grounding failed (%s); retrying serially", e)
+                grounded = None
+        if grounded is None:
             grounded = []
             for i in chunk:
                 try:

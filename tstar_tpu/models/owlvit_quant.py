@@ -31,7 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tstar_tpu.models.owlvit import OwlViTConfig
-from tstar_tpu.models.transformer import quick_gelu
+from tstar_tpu.models.transformer import ACTIVATIONS
 from tstar_tpu.ops.quant import dense_w8a8, quantize_weight
 
 
@@ -134,6 +134,7 @@ def encode_image_int8(
 
     head_dim = c.hidden_size // c.num_heads
     seq = x.shape[1]
+    act = ACTIVATIONS[c.activation]
     for lyr in qparams["layers"]:
         h = _layernorm(x, lyr["ln1"], eps)
         qkv = dense_w8a8(
@@ -151,7 +152,7 @@ def encode_image_int8(
             h, lyr["fc1"]["w"], lyr["fc1"]["s"], lyr["fc1"]["b"],
             out_dtype=jnp.float32,
         )
-        h = quick_gelu(h)
+        h = act(h)
         x = x + dense_w8a8(
             h, lyr["fc2"]["w"], lyr["fc2"]["s"], lyr["fc2"]["b"], out_dtype=dtype
         )

@@ -166,6 +166,25 @@ class OwlVitScorer:
     def _verify_model(self) -> OwlViTDetector:
         return self.verify_model or self.model
 
+    def _detect_verify(self, pixels, query_embeds=None, query_mask=None):
+        """_detect through the verification view (reduced-resolution model /
+        interpolated pos-emb variables / matching quantized tower when
+        configured; the main ones otherwise)."""
+        return self._detect(
+            pixels,
+            model=self._verify_model,
+            variables=(
+                self.verify_variables
+                if self.verify_variables is not None else self.variables
+            ),
+            qvision=(
+                self.qvision_verify
+                if self.qvision_verify is not None else self.qvision
+            ),
+            query_embeds=query_embeds,
+            query_mask=query_mask,
+        )
+
     # ---- flat multi-video batch (leading video axis on cache/query fields;
     # see parallel/batched.stack_scorers) ------------------------------------
     #
@@ -214,17 +233,8 @@ class OwlVitScorer:
         pixels = normalize_clip(
             bilinear_resize(frames, (size, size)), self.model.dtype
         )
-        scores, class_ids, boxes = self._detect(
+        scores, class_ids, boxes = self._detect_verify(
             pixels,
-            model=self._verify_model,
-            variables=(
-                self.verify_variables
-                if self.verify_variables is not None else self.variables
-            ),
-            qvision=(
-                self.qvision_verify
-                if self.qvision_verify is not None else self.qvision
-            ),
             query_embeds=self.query_embeds[video_idx],     # (W, Q, D)
             query_mask=self.query_mask[video_idx],
         )
@@ -255,19 +265,8 @@ class OwlVitScorer:
         flat = pixels.reshape(b * t, *pixels.shape[2:])
         qe = jnp.repeat(self.query_embeds, t, axis=0)        # (B*T, Q, D)
         qm = jnp.repeat(self.query_mask, t, axis=0)
-        scores, class_ids, boxes = self._detect(
-            flat,
-            model=self._verify_model,
-            variables=(
-                self.verify_variables
-                if self.verify_variables is not None else self.variables
-            ),
-            qvision=(
-                self.qvision_verify
-                if self.qvision_verify is not None else self.qvision
-            ),
-            query_embeds=qe,
-            query_mask=qm,
+        scores, class_ids, boxes = self._detect_verify(
+            flat, query_embeds=qe, query_mask=qm
         )
         keep = scores > self.config.detector_threshold
         cw = jnp.repeat(self.class_weights, t, axis=0)       # (B*T, Q)
@@ -304,18 +303,7 @@ class OwlVitScorer:
     def _score_verify_pixels(self, pixels: jax.Array) -> Tuple[jax.Array, jax.Array]:
         cfg = self.config
         size = self._verify_model.cfg.vision.image_size
-        scores, class_ids, boxes = self._detect(
-            pixels,
-            model=self._verify_model,
-            variables=(
-                self.verify_variables
-                if self.verify_variables is not None else self.variables
-            ),
-            qvision=(
-                self.qvision_verify
-                if self.qvision_verify is not None else self.qvision
-            ),
-        )
+        scores, class_ids, boxes = self._detect_verify(pixels)
         keep = scores > cfg.detector_threshold
 
         def one(b, s, c, k):
@@ -373,6 +361,70 @@ def build_prompt_batch(
     return ids_pad, mask_pad, weights
 
 
+# Derived weight views (int8 tower, reduced-resolution verify view) are pure
+# functions of (model, variables, quant/verify config) and get rebuilt for
+# EVERY video by the batched runner's per-video build_scorer calls — on the
+# real B/32 model that is an ~87M-param host-side re-quantization per video.
+# Memoize on object identity; entries hold a strong reference to their
+# variables so ids cannot be reused while cached.
+_WEIGHT_VIEW_CACHE: dict = {}
+
+
+def _weight_views(model: OwlViTDetector, variables: Any, config: SearchConfig):
+    """-> (qvision, verify_model, verify_variables, qvision_verify)."""
+    if config.detector_quant is not None and config.detector_quant != "int8":
+        raise ValueError(
+            f"unknown detector_quant={config.detector_quant!r}; "
+            "supported: None (bf16), 'int8'"
+        )
+    if config.detector_quant is None and config.verify_image_size in (
+        None, model.cfg.vision.image_size,
+    ):
+        return None, None, None, None
+
+    key = (
+        id(variables), id(model), config.detector_quant, config.verify_image_size
+    )
+    hit = _WEIGHT_VIEW_CACHE.get(key)
+    if hit is not None and hit[0] is variables and hit[1] is model:
+        return hit[2:]
+
+    qvision = None
+    if config.detector_quant == "int8":
+        from tstar_tpu.models.owlvit_quant import quantize_vision_tower
+
+        qvision = quantize_vision_tower(variables, model.cfg)
+
+    verify_model = verify_variables = qvision_verify = None
+    if (
+        config.verify_image_size is not None
+        and config.verify_image_size != model.cfg.vision.image_size
+    ):
+        from tstar_tpu.models.owlvit import resize_detector
+
+        verify_model, verify_variables = resize_detector(
+            model, variables, config.verify_image_size
+        )
+        if qvision is not None:
+            from tstar_tpu.models.owlvit import interpolate_position_embedding
+
+            src = model.cfg.vision
+            qvision_verify = {
+                **qvision,
+                "pos": interpolate_position_embedding(
+                    qvision["pos"], src.num_patches_side,
+                    config.verify_image_size // src.patch_size,
+                ),
+            }
+
+    if len(_WEIGHT_VIEW_CACHE) >= 8:
+        _WEIGHT_VIEW_CACHE.clear()
+    _WEIGHT_VIEW_CACHE[key] = (
+        variables, model, qvision, verify_model, verify_variables, qvision_verify
+    )
+    return qvision, verify_model, verify_variables, qvision_verify
+
+
 def make_owlvit_scorer(
     model: OwlViTDetector,
     variables: Any,
@@ -399,38 +451,9 @@ def make_owlvit_scorer(
         method=OwlViTDetector.encode_text,
     )
     query_mask = jnp.asarray(ids_pad[:, 0] > 0)
-    qvision = None
-    if config.detector_quant is not None:
-        if config.detector_quant != "int8":
-            raise ValueError(
-                f"unknown detector_quant={config.detector_quant!r}; "
-                "supported: None (bf16), 'int8'"
-            )
-        from tstar_tpu.models.owlvit_quant import quantize_vision_tower
-
-        qvision = quantize_vision_tower(variables, model.cfg)
-
-    verify_model = verify_variables = qvision_verify = None
-    if (
-        config.verify_image_size is not None
-        and config.verify_image_size != model.cfg.vision.image_size
-    ):
-        from tstar_tpu.models.owlvit import resize_detector
-
-        verify_model, verify_variables = resize_detector(
-            model, variables, config.verify_image_size
-        )
-        if qvision is not None:
-            from tstar_tpu.models.owlvit import interpolate_position_embedding
-
-            src = model.cfg.vision
-            qvision_verify = {
-                **qvision,
-                "pos": interpolate_position_embedding(
-                    qvision["pos"], src.num_patches_side,
-                    config.verify_image_size // src.patch_size,
-                ),
-            }
+    qvision, verify_model, verify_variables, qvision_verify = _weight_views(
+        model, variables, config
+    )
     return OwlVitScorer(
         cache=cache,
         variables=variables,
