@@ -76,6 +76,9 @@ def main():
     p.add_argument("--videos", type=int, default=2)
     p.add_argument("--duration", type=float, default=300.0)
     p.add_argument("--budget", type=float, default=1.0)
+    p.add_argument("--detector_quant", type=str, default=None, choices=["int8"])
+    p.add_argument("--verify_image_size", type=int, default=None)
+    p.add_argument("--qa_batch", type=int, default=1)
     args = p.parse_args()
 
     from tstar_tpu.bench.evaluate import (
@@ -116,6 +119,14 @@ def main():
     # ---- stage 1: batched search on the chip (eval_LV_Haystack.sh:24-31) ----
     search_out = os.path.join(tmp, "search_results.json")
     t0 = time.perf_counter()
+    search_cfg = None
+    if args.detector_quant or args.verify_image_size:
+        from tstar_tpu.utils.config import SearchConfig
+
+        search_cfg = SearchConfig(
+            detector_quant=args.detector_quant,
+            verify_image_size=args.verify_image_size,
+        )
     results = run_dataset_batched(
         dataset,
         FakeGrounder(target_objects=["couch"], cue_objects=["tv"]),
@@ -124,6 +135,7 @@ def main():
         batch_videos=args.videos,
         search_budget=args.budget,
         confidence_threshold=2.0,     # worst case: full budget, no early exit
+        config=search_cfg,
     )
     timings["search_s"] = round(time.perf_counter() - t0, 2)
     timings["videos"] = len(results)
@@ -147,6 +159,7 @@ def main():
     accuracy, qa_results = compute_qa_accuracy(
         results, grounder, nframe=8, sampling_type="TStar",
         output_file=os.path.join(tmp, "qa.jsonl"),
+        qa_batch=args.qa_batch,
     )
     timings["qa_s"] = round(time.perf_counter() - t0, 2)
 

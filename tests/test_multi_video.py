@@ -151,6 +151,63 @@ class TestSearchVideos:
                 np.asarray(finals.remaining)[i], np.asarray(final_i.remaining)
             )
 
+    def test_per_video_verify_buckets_equal_global_flat(self):
+        """verify_flat=False (dp-shard-aligned buckets) must produce the
+        same searches as the global-flat default."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from tstar_tpu.models.clip_tokenizer import HashTokenizer
+        from tstar_tpu.models.owlvit import OwlViTConfig, OwlViTDetector, TextConfig, VisionConfig
+        from tstar_tpu.parallel.batched import run_search_batched, stack_scorers
+        from tstar_tpu.search.detector_scorer import make_owlvit_scorer
+        from tstar_tpu.search.state import init_state
+
+        tiny = OwlViTConfig(
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                                intermediate_size=64, patch_size=16, image_size=64),
+            text=TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
+                            num_heads=4, intermediate_size=48, max_length=8),
+            projection_dim=24,
+        )
+        model = OwlViTDetector(tiny, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((2, 8), jnp.int32),
+        )
+        tok = HashTokenizer(vocab_size=100, context=8)
+        rng = np.random.default_rng(11)
+        cfg = SearchConfig(search_budget=0.5, detector_threshold=0.4)
+        n_valid, n_pad = 120, cfg.padded_frames(120)
+        caches = [
+            jnp.asarray(rng.integers(0, 256, (n_pad, 20, 40, 3), dtype=np.uint8))
+            for _ in range(2)
+        ]
+        outs = {}
+        for flat in (None, False):
+            c = dataclasses.replace(cfg, verify_flat=flat)
+            scorers = [
+                make_owlvit_scorer(model, variables, cache, ["couch"], ["tv"],
+                                   tok, c)
+                for cache in caches
+            ]
+            states = [
+                init_state(n_valid, 1, c, jax.random.key(60 + i), n_pad=n_pad)
+                for i in range(2)
+            ]
+            stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+            finals, secs = jax.jit(run_search_batched, static_argnums=2)(
+                stacked, stack_scorers(scorers, c), c
+            )
+            outs[flat] = (np.asarray(secs), np.asarray(finals.scores),
+                          np.asarray(finals.remaining))
+        np.testing.assert_array_equal(outs[None][0], outs[False][0])
+        np.testing.assert_allclose(outs[None][1], outs[False][1],
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(outs[None][2], outs[False][2])
+
     def test_batched_runner_uses_batched_grounding(self, videos, tmp_path):
         from tstar_tpu.bench.runner import run_dataset_batched
         from tstar_tpu.grounding.fake import FakeGrounder

@@ -102,11 +102,40 @@ def _batched_verification(
         if t_bucket >= k_frames:
             vconf, vpres = scorer.score_verify_batch(secs)
             vpres_t = vpres[..., :t_max]
+        elif config.verify_flat is False:
+            # Per-video buckets (video axis stays aligned with a dp-sharded
+            # mesh: no cross-shard frame gathers).  Rounds follow the video
+            # with the most candidates; other videos' extra rescores land on
+            # frames the replay never reads.
+            order = jnp.argsort(~candidate, axis=1, stable=True)   # (B, K)
+            n_cand_pv = jnp.sum(candidate.astype(jnp.int32), axis=1)
+            rounds_needed = jnp.max(n_cand_pv)
+            vconf0 = jnp.zeros((b, k_frames), jnp.float32)
+            vpres0 = jnp.zeros((b, k_frames, t_max), bool)
+
+            def cond_pv(carry):
+                r, *_ = carry
+                return r * t_bucket < rounds_needed
+
+            def body_pv(carry):
+                r, vconf, vpres_t = carry
+                idx = jax.lax.dynamic_slice_in_dim(
+                    order, r * t_bucket, t_bucket, axis=1
+                )                                               # (B, t)
+                sub = jnp.take_along_axis(secs, idx, axis=1)
+                c, p = scorer.score_verify_batch(sub)
+                upd = jax.vmap(lambda v, i, x: v.at[i].set(x))
+                return r + 1, upd(vconf, idx, c), upd(vpres_t, idx, p[..., :t_max])
+
+            _, vconf, vpres_t = jax.lax.while_loop(
+                cond_pv, body_pv, (jnp.int32(0), vconf0, vpres0)
+            )
         else:
-            # GLOBAL flat bucketing: candidates from all videos form one
-            # list, rescored t_bucket images per forward — the verification
-            # work is proportional to the TOTAL candidate count, not
-            # B x max-per-video (videos without candidates cost nothing).
+            # GLOBAL flat bucketing (default): candidates from all videos
+            # form one list, rescored t_bucket images per forward — the
+            # verification work is proportional to the TOTAL candidate
+            # count, not B x max-per-video (videos without candidates cost
+            # nothing).
             flat_cand = candidate.reshape(-1)                  # (B*K,)
             order = jnp.argsort(~flat_cand, stable=True)       # global idx
             n_cand = jnp.sum(flat_cand.astype(jnp.int32))

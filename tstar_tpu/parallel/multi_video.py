@@ -90,6 +90,15 @@ def _search_bucket(
         )
 
     batched_config = resolve_pallas_preprocess(config, batched=True)
+    if (
+        mesh is not None
+        and batched_config.verify_flat is None
+        and mesh.shape.get(DATA_AXIS, 1) > 1
+    ):
+        # Global-flat verification gathers frames across videos; with the
+        # video axis dp-sharded that would move frame data over ICI every
+        # round.  Keep buckets per-video (shard-aligned) on a mesh.
+        batched_config = dataclasses.replace(batched_config, verify_flat=False)
     # raises TypeError for table-backed scorers (OwlVitScorer/YoloWorldScorer
     # are the batched-search detector backends)
     batched_scorer = stack_scorers(scorers, batched_config)
@@ -112,7 +121,7 @@ def _search_bucket(
 
     max_iters = max(config.iteration_cap(c.n_valid) for c in caches)
     finals, secs = run_search_batched_chained(
-        stacked, batched_scorer, config, max_iterations=max_iters
+        stacked, batched_scorer, batched_config, max_iterations=max_iters
     )
     secs = np.asarray(secs)
     remaining = np.asarray(finals.remaining)

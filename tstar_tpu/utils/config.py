@@ -66,6 +66,16 @@ class SearchConfig:
     # degraded 600x285, interface_searcher.py:403).
     verify_image_size: Optional[int] = None
 
+    # Batched-search verification bucketing across videos (ours).  None/True:
+    # candidates from ALL videos form one flat list, rescored verify_batch
+    # images per forward — work proportional to the total candidate count
+    # (the single-chip default; lifts batched worst case above the B=1 rate).
+    # False: per-video buckets padded across the batch — keeps the video
+    # axis aligned with a dp-sharded mesh, avoiding cross-shard frame
+    # gathers (parallel/multi_video.py sets this automatically when
+    # searching over a mesh with a sharded data axis).
+    verify_flat: Optional[bool] = None
+
     # Verification rescore batch (ours; semantics-preserving optimization).
     # None = rescore all K sampled frames in one forward whenever any frame
     # triggers (reference-shaped worst case).  A small int T rescores only
