@@ -35,7 +35,10 @@ def init_kv_cache(
     ]
 
 
-@functools.partial(jax.jit, static_argnums=(0, 6))
+# The zero KV caches are created INSIDE the jit (from the static max_len),
+# so the prefill writes its K/V in place — no host-side allocation, no
+# donation needed, no cache copy.
+@functools.partial(jax.jit, static_argnums=(0, 6, 7, 8))
 def prefill(
     model: Qwen2VLModel,
     variables,
@@ -44,9 +47,11 @@ def prefill(
     position_ids: jax.Array,    # (3, B, S_pad)
     image_patches: Optional[jax.Array],   # (N, P, patch_dim) or None
     image_grid_hw: Optional[Tuple[int, int]],
-    caches,
+    max_len: int,
+    cache_dtype=jnp.bfloat16,
 ):
-    """-> (next_token_logits (B, vocab), caches)."""
+    """-> (next_token_logits (B, vocab), caches (filled to prompt_lens))."""
+    caches = init_kv_cache(model.cfg, input_ids.shape[0], max_len, cache_dtype)
 
     def fwd(m: Qwen2VLModel):
         b, s = input_ids.shape
@@ -59,7 +64,6 @@ def prefill(
         neg = jnp.finfo(jnp.float32).min
         # Keys live in the cache (max_len slots); during prefill only the
         # causal prompt prefix is visible.
-        max_len = caches[0][0].shape[1]
         col = jnp.arange(max_len)
         causal = (col[None, :] <= jnp.arange(s)[:, None])[None, None]   # (1,1,S,M)
         key_valid = (col[None] < prompt_lens[:, None])[:, None, None, :]
@@ -73,17 +77,10 @@ def prefill(
     return model.apply(variables, method=lambda m: fwd(m))
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def decode_step(
-    model: Qwen2VLModel,
-    variables,
-    token: jax.Array,          # (B,) current input token
-    index: jax.Array,          # scalar: cache slot to write
-    next_pos: jax.Array,       # (B,) mrope position of this token
-    key_valid: jax.Array,      # (B, max_len) slots that hold real K/V
-    caches,
+def _decode_forward(
+    model: Qwen2VLModel, variables, token, index, next_pos, key_valid, caches
 ):
-    """-> (logits (B, vocab), caches)."""
+    """One-token decoder forward -> (logits (B, vocab), caches)."""
 
     def fwd(m: Qwen2VLModel):
         hidden = m.embed(token[:, None], None)
@@ -96,6 +93,78 @@ def decode_step(
         return m.logits(hidden)[:, 0], new_caches
 
     return model.apply(variables, method=lambda m: fwd(m))
+
+
+@functools.partial(jax.jit, static_argnums=(0,), donate_argnums=(6,))
+def decode_step(
+    model: Qwen2VLModel,
+    variables,
+    token: jax.Array,          # (B,) current input token
+    index: jax.Array,          # scalar: cache slot to write
+    next_pos: jax.Array,       # (B,) mrope position of this token
+    key_valid: jax.Array,      # (B, max_len) slots that hold real K/V
+    caches,
+):
+    """-> (logits (B, vocab), caches).  Single-step entry point (kept for
+    callers that drive decoding themselves; ``generate`` uses the fused
+    on-device loop below)."""
+    return _decode_forward(model, variables, token, index, next_pos, key_valid, caches)
+
+
+@functools.partial(
+    jax.jit, static_argnums=(0, 2, 3), donate_argnums=(4,)
+)
+def _decode_loop(
+    model: Qwen2VLModel,
+    variables,
+    max_new_tokens: int,
+    greedy: bool,
+    caches,
+    token0: jax.Array,         # (B,) first sampled token (from prefill)
+    done0: jax.Array,          # (B,)
+    next_pos0: jax.Array,      # (B,)
+    start_index: jax.Array,    # scalar: first cache slot to write
+    key_valid: jax.Array,      # (B, max_len)
+    eos: jax.Array,            # (E,)
+    temperature: jax.Array,    # scalar (ignored when greedy)
+    rng: jax.Array,
+) -> jax.Array:
+    """The whole decode phase as ONE device-side ``lax.while_loop``.
+
+    One dispatch instead of max_new_tokens jit calls — per-call dispatch
+    latency dominates short QA decodes on remote-attached devices — while
+    keeping the host loop's early exit (the loop ends as soon as every
+    sequence has emitted an EOS) and per-step KV-cache donation (loop-carried
+    buffers update in place)."""
+    b = token0.shape[0]
+    out0 = jnp.full((b, max_new_tokens), eos[0], jnp.int32)
+    out0 = out0.at[:, 0].set(token0)
+
+    def cond(carry):
+        step, _, _, _, done, _, _ = carry
+        return (step < max_new_tokens) & ~jnp.all(done)
+
+    def body(carry):
+        step, caches, token, next_pos, done, out, rng = carry
+        logits, caches = _decode_forward(
+            model, variables, token, start_index + step - 1, next_pos,
+            key_valid, caches,
+        )
+        rng, key = jax.random.split(rng)
+        if greedy:
+            new_token = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            new_token = jax.random.categorical(
+                key, logits / temperature, -1
+            ).astype(jnp.int32)
+        new_token = jnp.where(done, eos[0], new_token)
+        done = done | jnp.isin(new_token, eos)
+        out = out.at[:, step].set(new_token)
+        return step + 1, caches, new_token, next_pos + 1, done, out, rng
+
+    carry = (jnp.int32(1), caches, token0, next_pos0, done0, out0, rng)
+    final = jax.lax.while_loop(cond, body, carry)
+    return final[5]
 
 
 def generate(
@@ -118,14 +187,13 @@ def generate(
     position_ids = jnp.asarray(position_ids, jnp.int32)
     b, s_pad = input_ids.shape
     max_len = s_pad + max_new_tokens
-    caches = init_kv_cache(model.cfg, b, max_len, cache_dtype)
     if rng is None:
         rng = jax.random.key(0)
     eos = jnp.asarray(list(eos_token_ids), jnp.int32)
 
     logits, caches = prefill(
         model, variables, input_ids, prompt_lens, position_ids,
-        image_patches, image_grid_hw, caches,
+        image_patches, image_grid_hw, max_len, cache_dtype,
     )
     # Text positions continue from max(prompt positions) + 1 per sequence.
     seq_mask = jnp.arange(s_pad)[None] < prompt_lens[:, None]
@@ -142,35 +210,19 @@ def generate(
     token0 = sample(logits, key0)
     done0 = jnp.isin(token0, eos)
 
+    if max_new_tokens == 1:
+        return token0[:, None]
+
     # Cache slots holding real keys: the true prompt prefix plus every decode
     # slot (decode writes start at s_pad; padded prompt slots stay masked).
     slots = jnp.arange(max_len)[None]
     base_valid = (slots < prompt_lens[:, None]) | (slots >= s_pad)
 
-    def step(carry, key):
-        caches, token, next_pos, index, done = carry
-        logits, caches = decode_step(
-            model, variables, token, index, next_pos, base_valid, caches
-        )
-        new_token = sample(logits, key)
-        new_token = jnp.where(done, eos[0], new_token)
-        done = done | jnp.isin(new_token, eos)
-        return (caches, new_token, next_pos + 1, index + 1, done), new_token
-
-    keys = jax.random.split(rng, max_new_tokens - 1) if max_new_tokens > 1 else []
-    tokens = [token0]
-    carry = (caches, token0, next_pos, jnp.asarray(s_pad), done0)
-    # Host loop over decode steps: each step is one cached jitted call (the
-    # cache pytree donation pattern); max_new_tokens is small (<=30 for QA).
-    for key in keys:
-        carry, tok = step(carry, key)
-        tokens.append(tok)
-        if bool(jnp.all(carry[4])):
-            break
-    out = jnp.stack(tokens, axis=1)
-    pad = max_new_tokens - out.shape[1]
-    if pad:
-        out = jnp.concatenate(
-            [out, jnp.full((b, pad), eos[0], jnp.int32)], axis=1
-        )
-    return out
+    # Whole decode phase = ONE on-device while_loop dispatch with early exit
+    # (greedy output identical to a per-step host loop; the sampling path's
+    # key schedule is split-per-step rather than pre-split).
+    return _decode_loop(
+        model, variables, max_new_tokens, temperature <= 0.0,
+        caches, token0, done0, next_pos, jnp.asarray(s_pad), base_valid,
+        eos, jnp.float32(max(temperature, 1e-6)), rng,
+    )
