@@ -129,6 +129,28 @@ class TestReducedVerifySearch:
         assert presence.shape == (16, cfg.max_objects)
         assert bool(jnp.isfinite(conf).all())
 
+    def test_score_verify_flat_matches_batch(self, model_and_vars):
+        """Cross-video flat verification must agree with the per-video batch
+        form on the same (video, frame) pairs."""
+        from tstar_tpu.parallel.batched import stack_scorers
+
+        model, variables = model_and_vars
+        cfg = SearchConfig(search_budget=0.5, verify_image_size=32)
+        s1, _, _ = _build_scorer(cfg, model, variables)
+        stacked = stack_scorers([s1, s1], cfg)
+        secs = jnp.asarray([[3, 7], [11, 3]], jnp.int32)
+        conf_b, pres_b = jax.jit(stacked.score_verify_batch)(secs)
+        vid = jnp.asarray([0, 0, 1, 1], jnp.int32)
+        flat_secs = secs.reshape(-1)
+        conf_f, pres_f = jax.jit(stacked.score_verify_flat)(vid, flat_secs)
+        np.testing.assert_allclose(
+            np.asarray(conf_f).reshape(2, 2), np.asarray(conf_b),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(pres_f).reshape(2, 2, -1), np.asarray(pres_b)
+        )
+
     def test_batched_step_with_reduced_verify(self, model_and_vars):
         from tstar_tpu.parallel.batched import batched_search_step, stack_scorers
 

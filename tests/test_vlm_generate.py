@@ -68,6 +68,26 @@ class TestGreedyGenerationParity:
         n = min(len(want), len(got))
         np.testing.assert_array_equal(got[:n], want[:n])
 
+    def test_sampling_path_valid_and_deterministic(self, flax_model_and_params):
+        """temperature > 0 runs the fused loop's sampling branch: tokens are
+        in-vocab and reproducible for a fixed key."""
+        import jax
+
+        model, params = flax_model_and_params
+        ids = np.array([[5, 6, 7, 9]])
+        pos = build_mrope_position_ids(ids[0], IMG_TOK, [], 2)[:, None]
+        outs = [
+            np.asarray(generate(
+                model, params, ids, np.array([4]), pos,
+                max_new_tokens=6, eos_token_ids=[199], temperature=0.8,
+                rng=jax.random.key(123), cache_dtype=jnp.float32,
+            ))
+            for _ in range(2)
+        ]
+        np.testing.assert_array_equal(outs[0], outs[1])
+        assert outs[0].shape == (1, 6)
+        assert (outs[0] >= 0).all() and (outs[0] < 200).all()
+
     def test_eos_freezes_sequence(self, flax_model_and_params):
         model, params = flax_model_and_params
         ids = np.array([[5, 6, 7]])
