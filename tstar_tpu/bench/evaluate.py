@@ -22,6 +22,16 @@ from tstar_tpu.bench.metrics import annd, match_answer, ssim_prf, temporal_prf
 logger = logging.getLogger(__name__)
 
 
+def resume_key(item: Dict[str, Any]) -> str:
+    """The per-item resume-manifest key, shared by every resumable stage.
+
+    Keys on (video_path, question): one video commonly carries several
+    questions (the reference keys its QA resume on video_path alone and
+    would misattribute cached answers across questions,
+    val_qa_results.py:219)."""
+    return f"{item.get('video_path', '')}||{item.get('question', '')}"
+
+
 # ---------------------------------------------------------------------------
 # Keyframe-search metric evaluation (val_tstar_results.py:296-380)
 # ---------------------------------------------------------------------------
@@ -191,12 +201,6 @@ def compute_qa_accuracy(
             f"sampling_type '{sampling_type}' not in [uniform, TStar]"
         )
 
-    # Resume rows key on (video_path, question): one video commonly carries
-    # several questions (the reference keys on video_path alone and would
-    # misattribute cached answers across questions, val_qa_results.py:219).
-    def _key(it):
-        return f"{it.get('video_path', '')}||{it.get('question', '')}"
-
     existing: Dict[str, Dict] = {}
     if os.path.exists(output_file):
         logger.info("resuming from %s", output_file)
@@ -204,7 +208,7 @@ def compute_qa_accuracy(
             for line in f:
                 if line.strip():
                     it = json.loads(line)
-                    existing[_key(it)] = it
+                    existing[resume_key(it)] = it
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -212,14 +216,17 @@ def compute_qa_accuracy(
     pending: List[int] = []
     correct = total = 0
     for idx, item in enumerate(result_data):
-        done = existing.get(_key(item))
+        done = existing.get(resume_key(item))
         if done is not None:
             results[idx] = done
-            # failure rows never count toward the accuracy denominator —
+            # Failure rows never count toward the accuracy denominator —
             # same rule as fresh failures below (a resume must not change
-            # the reported metric)
+            # the reported metric).  The explicit qa_failed flag is the
+            # marker; the prediction-prefix check only covers manifests
+            # written before the flag existed.
             pred = str(done.get(f"{sampling_type}_pred_answer", ""))
-            if not pred.startswith("failed:"):
+            failed = done.get("qa_failed", pred.startswith("failed:"))
+            if not failed:
                 correct += bool(done.get("correct"))
                 total += 1
         else:
@@ -297,9 +304,11 @@ def compute_qa_accuracy(
                 if isinstance(err, Exception):
                     item[f"{sampling_type}_pred_answer"] = f"failed: {err}"
                     item["correct"] = False
+                    item["qa_failed"] = True
                 else:
                     item[f"{sampling_type}_pred_answer"] = pred
                     item["correct"] = is_correct
+                    item["qa_failed"] = False
                     correct += is_correct
                     total += 1
                 results[idx] = item

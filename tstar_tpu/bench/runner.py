@@ -16,6 +16,8 @@ import logging
 import os
 from typing import Any, Dict, List
 
+from tstar_tpu.bench.evaluate import resume_key
+
 logger = logging.getLogger(__name__)
 
 
@@ -212,14 +214,14 @@ def run_dataset(
             for line in f:
                 if line.strip():
                     row = json.loads(line)
-                    done[row.get("video_path", "") + "||" + row.get("question", "")] = row
+                    done[resume_key(row)] = row
         logger.info("resuming: %d items already done", len(done))
 
     results: List[Dict] = []
     os.makedirs(os.path.dirname(output_json) or ".", exist_ok=True)
     with open(manifest, "a", encoding="utf-8") as sink:
         for idx, item in enumerate(dataset):
-            key = item["video_path"] + "||" + item.get("question", "")
+            key = resume_key(item)
             logger.info(
                 "Processing %d/%d: %s", idx + 1, len(dataset), item.get("video_id")
             )

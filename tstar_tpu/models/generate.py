@@ -134,8 +134,10 @@ def _decode_loop(
     One dispatch instead of max_new_tokens jit calls — per-call dispatch
     latency dominates short QA decodes on remote-attached devices — while
     keeping the host loop's early exit (the loop ends as soon as every
-    sequence has emitted an EOS) and per-step KV-cache donation (loop-carried
-    buffers update in place)."""
+    sequence has emitted an EOS).  Loop-carried cache buffers update in
+    place within the loop; the caches are also RETURNED (and the inputs
+    donated) so XLA can alias the prefill cache into the loop instead of
+    keeping a second live copy for the whole decode."""
     b = token0.shape[0]
     out0 = jnp.full((b, max_new_tokens), eos[0], jnp.int32)
     out0 = out0.at[:, 0].set(token0)
@@ -164,7 +166,7 @@ def _decode_loop(
 
     carry = (jnp.int32(1), caches, token0, next_pos0, done0, out0, rng)
     final = jax.lax.while_loop(cond, body, carry)
-    return final[5]
+    return final[5], final[1]
 
 
 def generate(
@@ -221,8 +223,9 @@ def generate(
     # Whole decode phase = ONE on-device while_loop dispatch with early exit
     # (greedy output identical to a per-step host loop; the sampling path's
     # key schedule is split-per-step rather than pre-split).
-    return _decode_loop(
+    out, _ = _decode_loop(
         model, variables, max_new_tokens, temperature <= 0.0,
         caches, token0, done0, next_pos, jnp.asarray(s_pad), base_valid,
         eos, jnp.float32(max(temperature, 1e-6)), rng,
     )
+    return out

@@ -418,7 +418,9 @@ def _weight_views(model: OwlViTDetector, variables: Any, config: SearchConfig):
             }
 
     if len(_WEIGHT_VIEW_CACHE) >= 8:
-        _WEIGHT_VIEW_CACHE.clear()
+        # evict the least-recently-inserted entry only (dicts preserve
+        # insertion order); clearing everything would drop the hot entry too
+        _WEIGHT_VIEW_CACHE.pop(next(iter(_WEIGHT_VIEW_CACHE)))
     _WEIGHT_VIEW_CACHE[key] = (
         variables, model, qvision, verify_model, verify_variables, qvision_verify
     )
