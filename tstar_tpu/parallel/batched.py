@@ -232,6 +232,9 @@ def batched_search_step(
     if hasattr(scorer, "score_grid_batch"):
         stepped = _flat_batched_step(states, scorer, config)
     else:
+        # Conv-based scorers (YoloWorldScorer) batch fine under vmap: the
+        # batch dimension is native to convolutions, so none of the 5D-dot
+        # attention pathology that motivated the flat path applies.
         axes = in_axes if in_axes is not None else scorer_batch_axes(scorer)
 
         def one(state, sc):
