@@ -12,6 +12,7 @@ smoothing spline (see ops/smoother.py).  Tests here check:
 """
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import pytest
 import scipy.interpolate
@@ -20,6 +21,7 @@ import scipy.stats
 from tstar_tpu.ops.smoother import (
     _penta_diagonals,
     _penta_solve_batch,
+    _penta_solve_cr,
     fit_smoother,
     smoothing_spline_distribution,
 )
@@ -77,6 +79,89 @@ class TestPentaSolve:
             )
         )[:, 0]
         np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+
+class TestPentaSolveCyclicReduction:
+    """The production block-CR solver against dense solves and the scan
+    LDL^T oracle (the solver it replaced, VERDICT r2 item 1)."""
+
+    @pytest.mark.parametrize("seed", [0, 1, 2])
+    @pytest.mark.parametrize("n", [8, 64, 256, 384])
+    def test_matches_dense_solve(self, seed, n):
+        rng = np.random.default_rng(seed)
+        w = rng.random(n) + 0.1
+        lam = 10.0 ** rng.uniform(-2, 2)
+        a = np.diag(w) + lam * second_difference_gram(n)
+        b = rng.standard_normal(n)
+        want = np.linalg.solve(a, b)
+
+        d0 = np.diag(a).astype(np.float32)
+        d1 = np.append(np.diag(a, 1), 0).astype(np.float32)
+        d2 = np.append(np.diag(a, 2), [0, 0]).astype(np.float32)
+        got = np.asarray(
+            _penta_solve_cr(
+                jnp.asarray(d0)[:, None], jnp.asarray(d1)[:, None],
+                jnp.asarray(d2)[:, None], jnp.asarray(b, dtype=jnp.float32)[:, None],
+            )
+        )[:, 0]
+        np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-4)
+
+    @pytest.mark.parametrize("seed", [0, 1])
+    @pytest.mark.parametrize("n", [128, 384])
+    def test_matches_scan_ldlt_across_lam_sweep(self, seed, n):
+        """CR == scan-LDL^T on realistic smoother systems over the FULL
+        log-lam sweep range (the exact batched systems _sweep builds)."""
+        rng = np.random.default_rng(seed)
+        w = (rng.random(n) < 0.25).astype(np.float32)  # sparse visit weights
+        y = rng.random(n).astype(np.float32) * 0.5
+        lams = np.power(10.0, np.linspace(-5, 5, 41)).astype(np.float32)
+        p0, p1, p2 = (
+            np.asarray(x)
+            for x in _penta_diagonals(n, jnp.asarray(n), jnp.float32)
+        )
+        d0 = w[:, None] + lams[None, :] * p0[:, None]
+        inactive = (w == 0) & (p0 == 0)
+        d0 = np.where(inactive[:, None], 1.0, d0)
+        d1 = lams[None, :] * p1[:, None]
+        d2 = lams[None, :] * p2[:, None]
+        b = (w * y)[:, None] * np.ones_like(lams)[None, :]
+        args = [jnp.asarray(v, dtype=jnp.float32) for v in (d0, d1, d2, b)]
+        got = np.asarray(_penta_solve_cr(*args))
+        want = np.asarray(_penta_solve_batch(*args))
+        # Relative-to-scale comparison.  Both solvers run in float32 on
+        # systems whose conditioning grows with lam; at lam=1e5 BOTH sit
+        # ~1.5e-2 from the float64 dense truth (measured: CR 1.5e-2 vs LDL
+        # 1.4e-2 max-abs at lam 10^4.5, CR tighter below 10^3), so agreement
+        # between them is bounded by that shared conditioning floor, not by
+        # either algorithm.
+        scale = np.maximum(np.abs(want).max(axis=0, keepdims=True), 1e-3)
+        np.testing.assert_allclose(got / scale, want / scale, atol=6e-2)
+        # and tightly in the well-conditioned range (lam <= 1e2: cols 0..28)
+        np.testing.assert_allclose(
+            got[:, :29] / scale[:, :29], want[:, :29] / scale[:, :29], atol=2e-3
+        )
+
+    def test_vmappable(self):
+        """The batched multi-video path vmaps the whole smoother."""
+        rng = np.random.default_rng(0)
+        n, bsz = 64, 3
+        w = rng.random((bsz, n)).astype(np.float32) + 0.1
+        g = second_difference_gram(n)
+        b = rng.standard_normal((bsz, n)).astype(np.float32)
+        d0 = (w + np.diag(g)[None, :]).astype(np.float32)
+        d1 = np.broadcast_to(np.append(np.diag(g, 1), 0), (bsz, n)).astype(np.float32)
+        d2 = np.broadcast_to(np.append(np.diag(g, 2), [0, 0]), (bsz, n)).astype(np.float32)
+
+        out = jax.vmap(
+            lambda a0, a1, a2, rhs: _penta_solve_cr(
+                a0[:, None], a1[:, None], a2[:, None], rhs[:, None]
+            )[:, 0]
+        )(*[jnp.asarray(v) for v in (d0, d1, d2, b)])
+        for i in range(bsz):
+            a = np.diag(w[i]) + g
+            np.testing.assert_allclose(
+                np.asarray(out[i]), np.linalg.solve(a, b[i]), rtol=2e-3, atol=2e-4
+            )
 
 
 def _search_snapshot(n, n_visited, seed):

@@ -15,9 +15,22 @@ second-order differences),
 with w_i = 1 on visited seconds and 0 elsewhere, and ``lam`` selected so the
 weighted residual matches FITPACK's smoothing target ``s`` (the same
 residual-targeting rule UnivariateSpline uses).  The normal equations are a
-symmetric positive-definite pentadiagonal system solved by an LDL^T
-factorization expressed as two ``lax.scan`` passes, vmapped across a log-space
+symmetric positive-definite pentadiagonal system, batched across a log-space
 ``lam`` grid so one sweep evaluates the whole smoothing path at once.
+
+Two solvers for that system live here:
+
+* ``_penta_solve_batch`` — LDL^T factorization as two ``lax.scan`` passes.
+  Sequential depth ~2N; kept as the semantic oracle.
+* ``_penta_solve_cr`` — the production TPU solver.  The pentadiagonal matrix
+  is block-tridiagonal with 2x2 blocks; block cyclic reduction eliminates
+  the odd-indexed blocks level by level, so the sequential depth is
+  ~2*log2(N/2) fully-vectorized levels instead of ~2N scalar scan steps.
+  This matters because the solve sits inside EVERY search step of EVERY
+  video: in the detection-sparse regime (no verification forwards) the scan
+  solver's latency was the measured batching plateau (PERFORMANCE.md, r2:
+  ~9.8k frames/s flat from B=8 to B=16).  Equality with the scan solver is
+  pinned in tests/test_smoother.py.
 
 Known deviations from FITPACK (bounded downstream by sigmoid + floor +
 normalization; validated against scipy goldens in ``tests/test_smoother.py``):
@@ -116,6 +129,171 @@ def _penta_solve_batch(
     return x_rev[::-1]
 
 
+def _inv2x2(m: jax.Array) -> jax.Array:
+    """Closed-form inverse of a batch of 2x2 matrices (..., 2, 2)."""
+    a = m[..., 0, 0]
+    b = m[..., 0, 1]
+    c = m[..., 1, 0]
+    d = m[..., 1, 1]
+    det = a * d - b * c
+    inv = jnp.stack(
+        [jnp.stack([d, -b], axis=-1), jnp.stack([-c, a], axis=-1)], axis=-2
+    )
+    return inv / det[..., None, None]
+
+
+def _mm(x: jax.Array, y: jax.Array) -> jax.Array:
+    """Batched 2x2 @ 2x2, expanded elementwise (a 2x2 einsum would become a
+    tiny dot_general; explicit mul/add stays fused on the VPU)."""
+    return jnp.stack(
+        [
+            jnp.stack(
+                [
+                    x[..., 0, 0] * y[..., 0, 0] + x[..., 0, 1] * y[..., 1, 0],
+                    x[..., 0, 0] * y[..., 0, 1] + x[..., 0, 1] * y[..., 1, 1],
+                ],
+                axis=-1,
+            ),
+            jnp.stack(
+                [
+                    x[..., 1, 0] * y[..., 0, 0] + x[..., 1, 1] * y[..., 1, 0],
+                    x[..., 1, 0] * y[..., 0, 1] + x[..., 1, 1] * y[..., 1, 1],
+                ],
+                axis=-1,
+            ),
+        ],
+        axis=-2,
+    )
+
+
+def _mv(x: jax.Array, v: jax.Array) -> jax.Array:
+    """Batched 2x2 @ 2-vector."""
+    return jnp.stack(
+        [
+            x[..., 0, 0] * v[..., 0] + x[..., 0, 1] * v[..., 1],
+            x[..., 1, 0] * v[..., 0] + x[..., 1, 1] * v[..., 1],
+        ],
+        axis=-1,
+    )
+
+
+def _mt(x: jax.Array) -> jax.Array:
+    return jnp.swapaxes(x, -1, -2)
+
+
+def _penta_solve_cr(
+    d0: jax.Array,  # (N, L) main diagonal
+    d1: jax.Array,  # (N, L) first superdiagonal  (d1[i] = A[i, i+1])
+    d2: jax.Array,  # (N, L) second superdiagonal (d2[i] = A[i, i+2])
+    b: jax.Array,   # (N, L) right-hand side
+) -> jax.Array:
+    """Solve A x = b (symmetric pentadiagonal SPD, batched over L) by 2x2
+    block cyclic reduction.
+
+    Pairs ``(x_{2i}, x_{2i+1})`` form blocks; A becomes block-tridiagonal
+
+        Bᵀ_{i-1} x_{i-1} + C_i x_i + B_i x_{i+1} = rhs_i
+
+    with  C_i = [[d0_{2i},   d1_{2i}  ], [d1_{2i},   d0_{2i+1}]]
+          B_i = [[d2_{2i},   0        ], [d1_{2i+1}, d2_{2i+1}]].
+
+    Each reduction level solves the odd blocks symbolically and substitutes
+    them into the even equations (which stay block-tridiagonal with
+
+        C'_i = C_i − Bᵀ_{i-1} C⁻¹_{i-1} B_{i-1} − B_i C⁻¹_{i+1} Bᵀ_i
+        B'_i = − B_i C⁻¹_{i+1} B_{i+1}
+        r'_i = r_i − Bᵀ_{i-1} C⁻¹_{i-1} r_{i-1} − B_i C⁻¹_{i+1} r_{i+1}),
+
+    then back-substitution walks the levels in reverse:
+        x_j = C⁻¹_j (r_j − Bᵀ_{j-1} x_{j-1} − B_j x_{j+1})   for odd j.
+
+    Every level is pure elementwise math over the remaining blocks x L, so
+    the sequential depth is 2*log2(N/2) vector ops.  The block count pads to
+    a power of two with identity blocks (decoupled; rows already carry
+    identity equations for inactive padding).
+    """
+    n, batch = b.shape
+    assert n % 2 == 0, "pentadiagonal CR needs an even (padded) length"
+    m = n // 2
+    # (m, L, 2, 2) diagonal and super-diagonal blocks, (m, L, 2) rhs.
+    c_blk = jnp.stack(
+        [
+            jnp.stack([d0[0::2], d1[0::2]], axis=-1),
+            jnp.stack([d1[0::2], d0[1::2]], axis=-1),
+        ],
+        axis=-2,
+    )
+    zeros = jnp.zeros_like(d2[0::2])
+    b_blk = jnp.stack(
+        [
+            jnp.stack([d2[0::2], zeros], axis=-1),
+            jnp.stack([d1[1::2], d2[1::2]], axis=-1),
+        ],
+        axis=-2,
+    )
+    # The last block has no successor: clear its coupling block.
+    b_blk = b_blk.at[-1].set(0.0)
+    rhs = jnp.stack([b[0::2], b[1::2]], axis=-1)
+
+    m_pow = 1 << (m - 1).bit_length()
+    if m_pow != m:
+        eye = jnp.broadcast_to(
+            jnp.eye(2, dtype=b.dtype), (m_pow - m, batch, 2, 2)
+        )
+        c_blk = jnp.concatenate([c_blk, eye], axis=0)
+        b_blk = jnp.concatenate(
+            [b_blk, jnp.zeros((m_pow - m, batch, 2, 2), b.dtype)], axis=0
+        )
+        rhs = jnp.concatenate(
+            [rhs, jnp.zeros((m_pow - m, batch, 2), b.dtype)], axis=0
+        )
+
+    levels = []
+    while c_blk.shape[0] > 1:
+        c_odd_inv = _inv2x2(c_blk[1::2])
+        b_even = b_blk[0::2]          # B_i for even i (couples i -> i+1 odd)
+        b_odd = b_blk[1::2]           # B_j for odd j (0 for the final block)
+        rhs_odd = rhs[1::2]
+        # B_{i-1} / C⁻¹_{i-1} / r_{i-1} for even i are the odd-row arrays
+        # shifted down one slot (identity/zero placeholders at i=0).
+        b_prev = jnp.concatenate([jnp.zeros_like(b_odd[:1]), b_odd[:-1]])
+        c_prev_inv = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.eye(2, dtype=b.dtype), c_odd_inv[:1].shape),
+                c_odd_inv[:-1],
+            ]
+        )
+        rhs_prev = jnp.concatenate([jnp.zeros_like(rhs_odd[:1]), rhs_odd[:-1]])
+
+        left = _mm(_mt(b_prev), c_prev_inv)       # Bᵀ_{i-1} C⁻¹_{i-1}
+        right = _mm(b_even, c_odd_inv)            # B_i C⁻¹_{i+1}
+        c_new = (
+            c_blk[0::2]
+            - _mm(left, b_prev)
+            - _mm(right, _mt(b_even))
+        )
+        b_new = -_mm(right, b_odd)
+        rhs_new = rhs[0::2] - _mv(left, rhs_prev) - _mv(right, rhs_odd)
+
+        levels.append((c_odd_inv, rhs_odd, b_even, b_odd))
+        c_blk, b_blk, rhs = c_new, b_new, rhs_new
+
+    x = _mv(_inv2x2(c_blk), rhs)                  # (1, L, 2) base solve
+
+    for c_odd_inv, rhs_odd, b_even, b_odd in reversed(levels):
+        # odd j sits between even neighbours x_{j-1}=x[i] and x_{j+1}=x[i+1]
+        x_next = jnp.concatenate([x[1:], jnp.zeros_like(x[:1])])
+        x_odd = _mv(
+            c_odd_inv, rhs_odd - _mv(_mt(b_even), x) - _mv(b_odd, x_next)
+        )
+        stacked = jnp.stack([x, x_odd], axis=1)   # (m/2, 2, L, 2)
+        x = stacked.reshape(-1, *x.shape[1:])
+
+    x = x[:m]                                      # drop pow2 padding blocks
+    # (m, L, 2) -> interleave the in-block pair back onto the row axis
+    return x.transpose(0, 2, 1).reshape(n, batch)
+
+
 def _sweep(
     y: jax.Array,
     weights: jax.Array,
@@ -132,7 +310,7 @@ def _sweep(
     d1 = lams[None, :] * p1[:, None]
     d2 = lams[None, :] * p2[:, None]
     b = (weights * y)[:, None] * jnp.ones_like(lams)[None, :]
-    x = _penta_solve_batch(d0, d1, d2, b)  # (N, L)
+    x = _penta_solve_cr(d0, d1, d2, b)  # (N, L)
     resid = jnp.sum(weights[:, None] * (x - y[:, None]) ** 2, axis=0)  # (L,)
     return x.T, resid
 
