@@ -1,0 +1,124 @@
+"""Detection-sparse regime sweep: no-verify search throughput vs batch size.
+
+The realistic regime (real weights, target absent from most frames) never
+triggers verification, so each step is ONE grid forward plus the per-step
+search math (sampling / splat / smoother).  r2 measured that math as the
+binding constraint: throughput plateaued at ~9.8k frames/s from B=8 to B=16
+with the sequential scan smoother (PERFORMANCE.md).  This script sweeps
+B in {1, 4, 8, 16, 24} so smoother/solver changes show up directly.
+
+Run on the real chip (background shell; first compile ~3-4 min):
+    python scripts/bench_sparse.py [--batches 1,8,16]
+
+Prints one JSON line (not the driver's bench.py contract — a side artifact).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batches", default="1,4,8,16,24")
+    ap.add_argument("--n_valid", type=int, default=1024)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tstar_tpu.models.clip_tokenizer import HashTokenizer
+    from tstar_tpu.models.owlvit import OwlViTDetector, owlvit_base_patch32
+    from tstar_tpu.parallel.batched import run_search_batched_chained
+    from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
+    from tstar_tpu.search.engine import run_search_chained
+    from tstar_tpu.search.state import init_state
+    from tstar_tpu.utils.config import SearchConfig
+
+    n_valid = args.n_valid
+    cfg = SearchConfig(
+        search_budget=1.0, confidence_threshold=2.0,
+        detector_threshold=10.0, use_pallas_preprocess=False, verify_batch=4,
+    )
+    n_pad = cfg.padded_frames(n_valid)
+    iters = cfg.iteration_cap(n_valid)
+    frames_scored = iters * cfg.frames_per_iteration
+
+    model_cfg = owlvit_base_patch32()
+    model = OwlViTDetector(model_cfg, dtype=jnp.bfloat16)
+    size = model_cfg.vision.image_size
+    variables = model.init(
+        jax.random.key(0),
+        jnp.zeros((1, size, size, 3), jnp.bfloat16),
+        jnp.zeros((2, model_cfg.text.max_length), jnp.int32),
+    )
+    tok = HashTokenizer(vocab_size=model_cfg.text.vocab_size,
+                        context=model_cfg.text.max_length)
+    rng = np.random.default_rng(0)
+
+    def mk_scorer():
+        c_np = rng.integers(0, 256, (n_pad, *cfg.cache_hw, 3), dtype=np.uint8)
+        c_np[n_valid:] = 0
+        return make_owlvit_scorer(
+            model, variables, jnp.asarray(c_np),
+            ["target"], ["cue one", "cue two"], tok, cfg,
+        )
+
+    def time_best_of(fn, n=3):
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    out = {}
+    for B in [int(b) for b in args.batches.split(",")]:
+        if B == 1:
+            scorer = mk_scorer()
+            state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
+
+            def run():
+                _, secs = run_search_chained(state, scorer, cfg)
+                np.asarray(secs)  # host fetch: the only reliable fence
+        else:
+            scorers = [mk_scorer() for _ in range(B)]
+            bsc = OwlVitScorer(
+                cache=jnp.stack([s.cache for s in scorers]),
+                variables=variables,
+                query_embeds=jnp.stack([s.query_embeds for s in scorers]),
+                query_mask=jnp.stack([s.query_mask for s in scorers]),
+                class_weights=jnp.stack([s.class_weights for s in scorers]),
+                model=model,
+                config=cfg,
+            )
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs),
+                *[init_state(n_valid, 1, cfg, jax.random.key(200 + i), n_pad=n_pad)
+                  for i in range(B)],
+            )
+
+            def run():
+                _, secs = run_search_batched_chained(
+                    stacked, bsc, cfg, max_iterations=iters
+                )
+                np.asarray(secs)
+
+        run()  # compile
+        t = time_best_of(run)
+        out[f"b{B}_frames_per_sec_no_verify"] = round(B * frames_scored / t, 2)
+        print(f"B={B}: {out[f'b{B}_frames_per_sec_no_verify']} f/s", flush=True)
+
+    dev = jax.devices()[0]
+    out["device_kind"] = getattr(dev, "device_kind", str(dev))
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -92,6 +92,32 @@ class TestSearchVideos:
         saved = json.load(open(out))
         assert len(saved) == 2
 
+    def test_batched_hbm_budget_divides_by_bucket_size(self, videos, monkeypatch):
+        """search_videos must pass a per-video budget of pool/(bucket*2) into
+        the cache builder (the r2 B=24 OOM fix, VERDICT item 2)."""
+        import tstar_tpu.parallel.multi_video as mv
+        from tstar_tpu.video.cache import build_frame_cache_host
+
+        seen = []
+        real = build_frame_cache_host
+
+        def spy(path, config, decoder=None, hbm_budget_bytes=None):
+            seen.append(hbm_budget_bytes)
+            return real(path, config, decoder=decoder,
+                        hbm_budget_bytes=hbm_budget_bytes)
+
+        monkeypatch.setattr(mv, "build_frame_cache_host", spy)
+        cfg = SearchConfig(search_budget=0.2, cache_hw=(32, 64))
+        tasks = [
+            VideoTask(videos[0], ["couch"], ["tv"], seed=0),
+            VideoTask(videos[1], ["couch"], ["lamp"], seed=1),
+        ]
+        # both videos pad to 128 s -> one bucket of 2; an 8 GiB pool with
+        # the 4 GiB reserve and 2x concurrency yields 1 GiB per video
+        search_videos(tasks, _tiny_heuristic(), cfg,
+                      hbm_budget_bytes=8 * 1024 ** 3)
+        assert seen == [1 * 1024 ** 3] * 2
+
     def test_flat_batched_equals_single_video(self):
         """The flat-batch step (one detector forward across videos) must
         reproduce each video's single-scorer search exactly, seed for seed."""

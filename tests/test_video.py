@@ -126,6 +126,39 @@ class TestFrameCache:
         assert cache.frames.shape[1] < 64 or cache.frames.shape[2] < 128 \
             or cache.frames.shape[1:3] == (32, 128)
 
+    def test_batched_budget_fits_24_videos_in_16gb(self):
+        """VERDICT r2 item 2 done-criterion: a 24-video bucket of 1024 s
+        videos resolves to a cache resolution where the whole pipeline
+        (stacked cache + pipelining copies + reserve) fits a 16 GB chip."""
+        from tstar_tpu.video.cache import (
+            HBM_RESERVE_BYTES,
+            fit_cache_hw,
+            per_video_hbm_budget,
+        )
+
+        total = 16 * 1024 ** 3
+        bucket, n_pad = 24, 1152  # 1024 s padded to the 128 multiple
+        budget = per_video_hbm_budget(bucket, total_bytes=total)
+        hw = fit_cache_hw((192, 384), n_pad, budget)
+        per_video = n_pad * hw[0] * hw[1] * 3
+        assert per_video <= budget
+        # 2x concurrency (stack assembly / next-bucket prefetch) + reserve
+        assert bucket * 2 * per_video + HBM_RESERVE_BYTES <= total
+        # and the downscale is moderate, not a collapse to the floor
+        assert hw[0] >= 128 and hw[1] >= 256
+
+    def test_per_video_budget_small_buckets_keep_default(self):
+        from tstar_tpu.video.cache import (
+            DEFAULT_HBM_BUDGET_BYTES,
+            per_video_hbm_budget,
+        )
+
+        # B=1/B=2 on a 16 GB pool: capped at the single-video default
+        assert per_video_hbm_budget(1, total_bytes=16 * 1024 ** 3) == \
+            DEFAULT_HBM_BUDGET_BYTES
+        assert per_video_hbm_budget(2, total_bytes=16 * 1024 ** 3) == \
+            3 * 1024 ** 3
+
     def test_too_short_video_raises(self, tmp_path):
         path = str(tmp_path / "short.mp4")
         write_synthetic_video(path, duration_sec=5.0, fps=10.0, hw=(48, 64))

@@ -36,7 +36,11 @@ from tstar_tpu.parallel.mesh import DATA_AXIS
 from tstar_tpu.search.detector_scorer import resolve_pallas_preprocess
 from tstar_tpu.search.state import init_state
 from tstar_tpu.utils.config import SearchConfig
-from tstar_tpu.video.cache import build_frame_cache_host, probe_video_length
+from tstar_tpu.video.cache import (
+    build_frame_cache_host,
+    per_video_hbm_budget,
+    probe_video_length,
+)
 
 logger = logging.getLogger(__name__)
 
@@ -63,16 +67,31 @@ def _bucket_indices(
 
 def _search_bucket(
     tasks: Sequence[VideoTask],
-    caches,
+    caches: List,
     heuristic,
     config: SearchConfig,
     mesh,
 ) -> List[Dict]:
-    """Stack one equal-length bucket and run it to completion on device."""
+    """Stack one equal-length bucket and run it to completion on device.
+
+    Takes OWNERSHIP of ``caches`` (a mutable list): per-video device frames
+    are released as soon as the stacked batch cache exists, so peak HBM is
+    ~2x the bucket's cache bytes (stack assembly / next-bucket prefetch),
+    never 3x — the budget math in ``per_video_hbm_budget`` relies on this.
+    """
     n_pad = max(c.n_pad for c in caches)
+    n_valids = [c.n_valid for c in caches]
+    hws = {tuple(c.frames.shape[1:3]) for c in caches}
+    if len(hws) > 1:
+        raise ValueError(
+            f"bucket caches disagree on resolution {sorted(hws)}: all videos "
+            f"in a bucket must share a cache_hw (same n_pad + same HBM budget "
+            f"guarantee this in search_videos)"
+        )
 
     scorers, states = [], []
-    for task, cache in zip(tasks, caches):
+    for i, task in enumerate(tasks):
+        cache = caches[i]
         frames = cache.frames
         if cache.n_pad < n_pad:
             frames = jnp.pad(
@@ -88,6 +107,7 @@ def _search_bucket(
                 jax.random.key(task.seed), n_pad=n_pad,
             )
         )
+        caches[i] = None  # release this video's device frames after stacking
 
     batched_config = resolve_pallas_preprocess(config, batched=True)
     if (
@@ -103,6 +123,9 @@ def _search_bucket(
     # are the batched-search detector backends)
     batched_scorer = stack_scorers(scorers, batched_config)
     stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+    # The stacked copies exist now; drop the per-video frame references so
+    # their HBM frees before the search launches (see docstring).
+    del scorers, states
 
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
@@ -119,7 +142,7 @@ def _search_bucket(
         }
         batched_scorer = dataclasses.replace(batched_scorer, **per_video)
 
-    max_iters = max(config.iteration_cap(c.n_valid) for c in caches)
+    max_iters = max(config.iteration_cap(nv) for nv in n_valids)
     finals, secs = run_search_batched_chained(
         stacked, batched_scorer, batched_config, max_iterations=max_iters
     )
@@ -129,7 +152,7 @@ def _search_bucket(
     final_p = np.asarray(finals.P)
 
     results = []
-    for i, (task, cache) in enumerate(zip(tasks, caches)):
+    for i, task in enumerate(tasks):
         ts = sorted(float(s) / config.sampling_fps for s in secs[i])
         left = [
             t for j, t in enumerate(task.target_objects) if remaining[i, j]
@@ -139,7 +162,7 @@ def _search_bucket(
                 "video_path": task.video_path,
                 "keyframe_timestamps": ts,
                 "keyframe_secs": secs[i].tolist(),
-                "keyframe_distribution": final_p[i, : cache.n_valid].tolist(),
+                "keyframe_distribution": final_p[i, : n_valids[i]].tolist(),
                 "remaining_targets": left,
                 "iterations": int(iterations[i]),
             }
@@ -155,6 +178,7 @@ def search_videos(
     bucket_by_length: bool = True,
     decode_workers: int = 2,
     prefetch: bool = True,
+    hbm_budget_bytes: Optional[int] = None,
 ) -> List[Dict]:
     """Search all videos to completion in batched on-device loops.
 
@@ -164,8 +188,16 @@ def search_videos(
     equal-padded-length buckets (no pad-to-longest blowup) and the next
     bucket's decode AND host->HBM upload run on worker threads while the
     device searches the current bucket (``prefetch=False`` processes
-    buckets strictly serially — the ablation baseline).  Returns
-    one dict per video, in task order:
+    buckets strictly serially — the ablation baseline).
+
+    Each video's frame-cache HBM budget is the device pool divided by its
+    bucket's size (x2 pipelining concurrency — see ``per_video_hbm_budget``),
+    so large buckets of long videos auto-downscale their cache resolution
+    instead of OOMing; ``hbm_budget_bytes`` overrides the detected device
+    total.  All videos in a bucket share one padded length and one budget,
+    hence one cache resolution (``_search_bucket`` asserts this).
+
+    Returns one dict per video, in task order:
     {"keyframe_timestamps", "keyframe_secs", "keyframe_distribution",
      "remaining_targets", "iterations"}.
     """
@@ -178,12 +210,19 @@ def search_videos(
             len(tasks), len(buckets),
             [n_pads[b[0]] for b in buckets],
         )
+    budget_by_index = {
+        i: per_video_hbm_budget(len(bucket), total_bytes=hbm_budget_bytes)
+        for bucket in buckets
+        for i in bucket
+    }
 
-    def build_device_cache(path: str):
+    def build_device_cache(path: str, budget: int):
         # decode + device_put together so BOTH overlap the previous bucket's
         # search (through the remote attachment the upload can cost more
         # than the decode)
-        return build_frame_cache_host(path, config).to_device()
+        return build_frame_cache_host(
+            path, config, hbm_budget_bytes=budget
+        ).to_device()
 
     results: List[Optional[Dict]] = [None] * len(tasks)
     with ThreadPoolExecutor(max_workers=max(1, decode_workers)) as pool:
@@ -193,7 +232,8 @@ def search_videos(
             for i in bucket:
                 if i not in futures:
                     futures[i] = pool.submit(
-                        build_device_cache, tasks[i].video_path
+                        build_device_cache, tasks[i].video_path,
+                        budget_by_index[i],
                     )
 
         for b, bucket in enumerate(buckets):
@@ -206,6 +246,7 @@ def search_videos(
             out = _search_bucket(
                 [tasks[i] for i in bucket], caches, heuristic, config, mesh
             )
+            del caches  # per-video frames already released by _search_bucket
             for i, r in zip(bucket, out):
                 results[i] = r
     return results

