@@ -170,3 +170,148 @@ class TestShardedExecution:
         assert out.scores.shape == (n_videos, n_pad)
         assert bool(jnp.isfinite(out.P).all())
         assert int(out.iteration.sum()) == n_videos  # every video advanced
+
+    @staticmethod
+    def _tiny_detector_setup(n_videos, n_valid, n_pad, cfg):
+        tiny = OwlViTConfig(
+            vision=VisionConfig(hidden_size=32, num_layers=2, num_heads=4,
+                                intermediate_size=64, patch_size=16, image_size=64),
+            text=TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
+                            num_heads=4, intermediate_size=48, max_length=8),
+            projection_dim=24,
+        )
+        model = OwlViTDetector(tiny, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)), jnp.zeros((2, 8), jnp.int32)
+        )
+        tok = HashTokenizer(vocab_size=100, context=8)
+        rng = np.random.default_rng(3)
+        scorers, states = [], []
+        for i in range(n_videos):
+            cache = jnp.asarray(
+                rng.integers(0, 256, (n_pad, 20, 40, 3), dtype=np.uint8)
+            )
+            scorers.append(make_owlvit_scorer(
+                model, variables, cache, ["couch"], ["tv"], tok, cfg
+            ))
+            states.append(init_state(n_valid, 1, cfg, jax.random.key(10 + i),
+                                     n_pad=n_pad))
+        batched_scorer = OwlVitScorer(
+            cache=jnp.stack([s.cache for s in scorers]),
+            variables=variables,
+            query_embeds=jnp.stack([s.query_embeds for s in scorers]),
+            query_mask=jnp.stack([s.query_mask for s in scorers]),
+            class_weights=jnp.stack([s.class_weights for s in scorers]),
+            model=model,
+            config=cfg,
+        )
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+        return model, variables, batched_scorer, stacked
+
+    def test_dp_tp_full_search_equals_unsharded(self):
+        """VERDICT r2 item 3a: a COMPLETE batched detector-backed search on a
+        dp=4 x tp=2 mesh must reproduce the unsharded single-device batched
+        search seed-for-seed — same sampled keyframes, same iteration counts,
+        same scores (float tolerance for GSPMD reduction-order drift)."""
+        import dataclasses
+
+        from tstar_tpu.parallel.batched import run_search_batched_chained
+        from tstar_tpu.parallel.multi_video import PER_VIDEO_FIELDS
+
+        # detector_threshold 0.4: random tiny-model confidences land both
+        # above and below, so detection/verification paths genuinely fire.
+        cfg = SearchConfig(search_budget=0.5, detector_threshold=0.4)
+        n_videos, n_valid, n_pad = 4, 64, 128
+        iters = cfg.iteration_cap(n_valid)
+        model, variables, batched_scorer, stacked = self._tiny_detector_setup(
+            n_videos, n_valid, n_pad, cfg
+        )
+
+        finals_u, secs_u = run_search_batched_chained(
+            stacked, batched_scorer, cfg, max_iterations=iters
+        )
+
+        mesh = make_mesh(data=4, model=2)
+        sharded_vars = shard_variables(mesh, variables)
+        # On a dp-sharded mesh the production path pins per-video verify
+        # buckets (multi_video._search_bucket does the same).
+        cfg_mesh = dataclasses.replace(cfg, verify_flat=False)
+
+        def dp_put(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+
+        per_video = {
+            f: dp_put(getattr(batched_scorer, f))
+            for f in PER_VIDEO_FIELDS[type(batched_scorer).__name__]
+        }
+        sharded_scorer = dataclasses.replace(
+            batched_scorer, variables=sharded_vars, config=cfg_mesh, **per_video
+        )
+        stacked_s = jax.tree_util.tree_map(dp_put, stacked)
+        finals_s, secs_s = run_search_batched_chained(
+            stacked_s, sharded_scorer, cfg_mesh, max_iterations=iters
+        )
+
+        np.testing.assert_array_equal(np.asarray(secs_s), np.asarray(secs_u))
+        np.testing.assert_array_equal(
+            np.asarray(finals_s.iteration), np.asarray(finals_u.iteration)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(finals_s.remaining), np.asarray(finals_u.remaining)
+        )
+        np.testing.assert_allclose(
+            np.asarray(finals_s.scores), np.asarray(finals_u.scores),
+            rtol=1e-5, atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            np.asarray(finals_s.P), np.asarray(finals_u.P),
+            rtol=1e-5, atol=1e-7,
+        )
+
+    def test_tp_sharded_generate_matches_unsharded(self):
+        """VERDICT r2 item 3b: TP-sharded greedy decode == unsharded decode,
+        token for token."""
+        from tstar_tpu.models.generate import generate
+        from tstar_tpu.models.qwen2vl import (
+            Qwen2VLConfig,
+            Qwen2VLModel,
+            Qwen2VLTextConfig,
+            Qwen2VLVisionConfig,
+            build_mrope_position_ids,
+        )
+
+        vlm_cfg = Qwen2VLConfig(
+            vision=Qwen2VLVisionConfig(
+                depth=2, embed_dim=16, num_heads=2, mlp_ratio=2.0, patch_size=2,
+                temporal_patch_size=1, spatial_merge_size=2, hidden_size=32,
+            ),
+            text=Qwen2VLTextConfig(
+                vocab_size=256, hidden_size=32, num_layers=2, num_heads=4,
+                num_kv_heads=2, intermediate_size=64, mrope_section=(1, 1, 2),
+            ),
+            image_token_id=251,
+        )
+        vlm = Qwen2VLModel(vlm_cfg, dtype=jnp.float32)
+        rng = np.random.default_rng(5)
+        ids = np.array([[5, 251, 251, 251, 251, 9]])
+        patches = jnp.asarray(rng.standard_normal((1, 16, 12)).astype(np.float32))
+        init_pos = jnp.zeros((3, 1, ids.shape[1]), jnp.int32)
+        vlm_vars = vlm.init(
+            jax.random.key(3), jnp.asarray(ids), init_pos, None, patches, (4, 4)
+        )
+        pos = build_mrope_position_ids(ids[0], 251, [(1, 4, 4)], 2)[:, None]
+
+        def decode(vars_):
+            return np.asarray(generate(
+                vlm, vars_, ids, np.array([6]), pos, max_new_tokens=8,
+                eos_token_ids=[255], temperature=0.0,
+                image_patches=patches, image_grid_hw=(4, 4),
+                cache_dtype=jnp.float32,
+            ))
+
+        tokens_u = decode(vlm_vars)
+        mesh = make_mesh(data=4, model=2)
+        tokens_s = decode(shard_variables(mesh, vlm_vars))
+        np.testing.assert_array_equal(tokens_s, tokens_u)
