@@ -30,26 +30,28 @@ def main():
     B, H, S, D = 16, 12, 577, 64
     S_PAD = 640
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
-    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+    # Model-realistic layout: the encoder holds (B, S, H, D) activations
+    # (jax.nn.dot_product_attention's native layout, zero extra transposes).
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.bfloat16)
 
     def xla_dpa(q, k, v):
-        # jax.nn.dot_product_attention expects (B, S, H, D)
-        return jax.nn.dot_product_attention(
-            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-            v.transpose(0, 2, 1, 3),
-        ).transpose(0, 2, 1, 3)
+        return jax.nn.dot_product_attention(q, k, v)
 
     def flash(q, k, v, block_q=128, block_kv=128):
-        qp = jnp.pad(q, ((0, 0), (0, 0), (0, S_PAD - S), (0, 0)))
-        kp = jnp.pad(k, ((0, 0), (0, 0), (0, S_PAD - S), (0, 0)))
-        vp = jnp.pad(v, ((0, 0), (0, 0), (0, S_PAD - S), (0, 0)))
+        # Flash wants (B, H, S, D): pay the transposes + padding per call,
+        # exactly as the integrated model would.
+        def to_flash(t):
+            t = t.transpose(0, 2, 1, 3)
+            return jnp.pad(t, ((0, 0), (0, 0), (0, S_PAD - S), (0, 0)))
+
+        qp, kp, vp = to_flash(q), to_flash(k), to_flash(v)
         from jax.experimental.pallas.ops.tpu.flash_attention import SegmentIds
 
-        seg = (jnp.arange(S_PAD) < S).astype(jnp.int32)  # pad gets id 0? no:
-        # real tokens id 1, pads id 0 -> pads only attend pads; real rows
-        # ignore pads.  Padded q rows produce garbage we slice away.
+        # real tokens share one segment id; pads get another -> real rows
+        # never attend pads.  Padded q rows produce garbage we slice away.
+        seg = (jnp.arange(S_PAD) < S).astype(jnp.int32)
         seg = jnp.broadcast_to(seg[None], (B, S_PAD))
         bs = BlockSizes(
             block_q=block_q, block_k_major=block_kv, block_k=block_kv,
@@ -63,7 +65,7 @@ def main():
             qp, kp, vp, segment_ids=SegmentIds(q=seg, kv=seg),
             sm_scale=1.0 / np.sqrt(D), block_sizes=bs,
         )
-        return out[:, :, :S, :]
+        return out[:, :, :S, :].transpose(0, 2, 1, 3)
 
     def loop(fn, n=200):
         @jax.jit

@@ -1,0 +1,143 @@
+"""Doc-drift enforcement: perf claims in docs must match the latest bench.
+
+Round 1 AND round 2 verdicts both caught stale perf numbers in README/
+COVERAGE (task reopened as VERDICT r2 item 5).  This script makes the drift
+mechanical to catch: a declarative manifest maps every load-bearing numeric
+claim in the docs (regex with capture groups) to a path inside the newest
+``BENCH_r*.json``, and each extracted number must match within a tolerance.
+
+Run standalone (CI-style) or via tests/test_doc_claims.py:
+
+    python scripts/check_doc_claims.py
+
+Conventions:
+  * Claims live in README.md.  COVERAGE.md and PERFORMANCE.md carry only
+    r-dated measurement archives (history, allowed to stand) and pointers
+    to README/BENCH_r*.json as the single source of truth.
+  * A claim regex that stops matching is ALSO a failure: silently deleting
+    or rewording a tracked number must be a deliberate manifest edit.
+  * Tolerance is generous (default 12%) — run-to-run bench variance is
+    ~5%; the historical drift incidents were 40%+.  When a new round's
+    bench moves a number past tolerance, this check goes red until the doc
+    is regenerated: that is the point.
+"""
+
+import glob
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# (file, regex, [(group_index, bench_path, scale, rel_tol), ...])
+CLAIMS = [
+    (
+        "README.md",
+        r"\*\*(\d+) detector-scored frames/sec",
+        [(1, "value", 1.0, 0.12)],
+    ),
+    (
+        "README.md",
+        r"\(batch-\d+ flat multi-video; (\d+) single-video at (\d+)% MFU\)",
+        [
+            (1, "extra.frames_per_sec_by_batch.1", 1.0, 0.12),
+            (2, "extra.mfu_b1_with_verification", 0.01, 0.12),
+        ],
+    ),
+    (
+        "README.md",
+        r"~?([\d.]+)× the reference\s+architecture",
+        [(1, "vs_baseline", 1.0, 0.12)],
+    ),
+    (
+        "README.md",
+        r"\*\*(\d+) f/s \(int8 W8A8 encoder\)",
+        [(1, "extra.b1_frames_per_sec_knobs.int8", 1.0, 0.12)],
+    ),
+    (
+        "README.md",
+        r"(\d+) f/s \(verification at 512",
+        [(1, "extra.b1_frames_per_sec_knobs.bf16_verify512", 1.0, 0.12)],
+    ),
+    (
+        "README.md",
+        r"\*\*~([\d.]+)k frames/sec single-video",
+        [(1, "extra.b1_frames_per_sec_no_verify", 1e3, 0.15)],
+    ),
+    (
+        "README.md",
+        r"~([\d.]+)k frames/sec at batch 8",
+        [(1, "extra.b8_frames_per_sec_no_verify", 1e3, 0.15)],
+    ),
+    (
+        "README.md",
+        r"\((\d+) vs (\d+) f/s: 4-image verify",
+        [
+            (1, "extra.frames_per_sec_by_batch.1", 1.0, 0.12),
+            (2, "extra.b1_frames_per_sec_rescore_all", 1.0, 0.12),
+        ],
+    ),
+]
+
+
+def latest_bench():
+    paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
+    assert paths, "no BENCH_r*.json found"
+    with open(paths[-1]) as f:
+        data = json.load(f)
+    return paths[-1], data.get("parsed", data)
+
+
+def resolve(bench, path):
+    cur = bench
+    for part in path.split("."):
+        if isinstance(cur, dict):
+            cur = cur[part]
+        else:
+            raise KeyError(path)
+    return float(cur)
+
+
+def check(verbose=True):
+    bench_path, bench = latest_bench()
+    failures = []
+    for fname, pattern, groups in CLAIMS:
+        text = open(os.path.join(REPO, fname)).read()
+        m = re.search(pattern, text)
+        if not m:
+            failures.append(
+                f"{fname}: claim regex no longer matches: {pattern!r} "
+                f"(reworded or deleted? update scripts/check_doc_claims.py)"
+            )
+            continue
+        for gi, bpath, scale, tol in groups:
+            claimed = float(m.group(gi)) * scale
+            actual = resolve(bench, bpath)
+            rel = abs(claimed - actual) / max(abs(actual), 1e-9)
+            status = "ok" if rel <= tol else "STALE"
+            if verbose:
+                print(
+                    f"[{status}] {fname}: claims {claimed:g}, bench "
+                    f"{bpath} = {actual:g} (drift {100*rel:.1f}%)"
+                )
+            if rel > tol:
+                failures.append(
+                    f"{fname}: claims {claimed:g} but {os.path.basename(bench_path)} "
+                    f"{bpath} = {actual:g} ({100*rel:.0f}% drift > {100*tol:.0f}%)"
+                )
+    return bench_path, failures
+
+
+def main():
+    bench_path, failures = check()
+    if failures:
+        print(f"\nDOC DRIFT vs {os.path.basename(bench_path)}:")
+        for f in failures:
+            print(f"  - {f}")
+        sys.exit(1)
+    print(f"\nall doc claims consistent with {os.path.basename(bench_path)}")
+
+
+if __name__ == "__main__":
+    main()
