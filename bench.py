@@ -185,9 +185,10 @@ def main():
     }
 
     # ---- batched multi-video engine at B in {4, 8} ----
-    # (measured: batching does NOT raise throughput in this worst-case
-    # config because B=1 already runs ~40% MFU — the 16-frame verification
-    # batch saturates the MXU; see extra["mfu_b1_with_verification"])
+    # (measured: batching pays only modestly in this worst-case config —
+    # B=1 already runs at extra["mfu_b1_with_verification"] MFU (~55% in
+    # the r2 final run; PERFORMANCE.md is the methodology reference): the
+    # 16-frame verification batch mostly saturates the MXU)
     per_batch = {1: round(ours_b1, 2)}
     best_b, best_fps = 1, ours_b1
     for B in (4, 8):
@@ -292,44 +293,54 @@ def main():
     if peak:
         extra["mfu_b1_no_verify"] = round(f_fwd * iters / t_nv / peak, 4)
 
-    # batched no-verify at B=8: at ~19% MFU the B=1 grid forward leaves MXU
-    # headroom, so THIS is where batching pays (the realistic sparse regime).
-    B = 8
-    scorers_nv = [
-        make_owlvit_scorer(
-            model, variables,
-            jnp.asarray(rng.integers(0, 256, (n_pad, *cfg.cache_hw, 3),
-                                     dtype=np.uint8)),
-            ["target"], ["cue one", "cue two"], tok, cfg_nv,
+    # batched no-verify at B in {8, 16}: the B=1 grid forward leaves MXU
+    # headroom, so THIS is where batching pays (the realistic sparse
+    # regime).  B=16 also records the former 9.8k plateau (r2) — broken in
+    # r3 by the bf16-early-normalize preprocess + block-CR smoother; the
+    # remaining bound is encoder memory traffic (attention probs + layernorm
+    # reduces), trace-analyzed in PERFORMANCE.md.
+    for B in (8, 16):
+        scorers_nv = [
+            make_owlvit_scorer(
+                model, variables,
+                jnp.asarray(rng.integers(0, 256, (n_pad, *cfg.cache_hw, 3),
+                                         dtype=np.uint8)),
+                ["target"], ["cue one", "cue two"], tok, cfg_nv,
+            )
+            for _ in range(B)
+        ]
+        bsc_nv = OwlVitScorer(
+            cache=jnp.stack([s.cache for s in scorers_nv]),
+            variables=variables,
+            query_embeds=jnp.stack([s.query_embeds for s in scorers_nv]),
+            query_mask=jnp.stack([s.query_mask for s in scorers_nv]),
+            class_weights=jnp.stack([s.class_weights for s in scorers_nv]),
+            model=model,
+            config=cfg_nv,
         )
-        for _ in range(B)
-    ]
-    bsc_nv = OwlVitScorer(
-        cache=jnp.stack([s.cache for s in scorers_nv]),
-        variables=variables,
-        query_embeds=jnp.stack([s.query_embeds for s in scorers_nv]),
-        query_mask=jnp.stack([s.query_mask for s in scorers_nv]),
-        class_weights=jnp.stack([s.class_weights for s in scorers_nv]),
-        model=model,
-        config=cfg_nv,
-    )
-    stacked_nv = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs),
-        *[init_state(n_valid, 1, cfg_nv, jax.random.key(200 + i), n_pad=n_pad)
-          for i in range(B)],
-    )
-
-    def run_nv_b8():
-        finals, secs = run_search_batched_chained(
-            stacked_nv, bsc_nv, cfg_nv, max_iterations=iters
+        del scorers_nv  # drop per-video cache refs before the search
+        stacked_nv = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[init_state(n_valid, 1, cfg_nv, jax.random.key(200 + i),
+                         n_pad=n_pad)
+              for i in range(B)],
         )
-        np.asarray(secs)
 
-    run_nv_b8()
-    t_nv8 = time_best_of(run_nv_b8)
-    extra["b8_frames_per_sec_no_verify"] = round(B * frames_scored / t_nv8, 2)
-    if peak:
-        extra["mfu_b8_no_verify"] = round(B * f_fwd * iters / t_nv8 / peak, 4)
+        def run_nv_b(bsc=bsc_nv, stacked=stacked_nv):
+            finals, secs = run_search_batched_chained(
+                stacked, bsc, cfg_nv, max_iterations=iters
+            )
+            np.asarray(secs)
+
+        run_nv_b()
+        t_nvb = time_best_of(run_nv_b)
+        extra[f"b{B}_frames_per_sec_no_verify"] = round(
+            B * frames_scored / t_nvb, 2
+        )
+        if peak:
+            extra[f"mfu_b{B}_no_verify"] = round(
+                B * f_fwd * iters / t_nvb / peak, 4
+            )
 
     ours_fps = best_fps
 

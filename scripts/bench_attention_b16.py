@@ -20,6 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(); ap.add_argument("--batch", type=int, default=16)
+    args_cli = ap.parse_args()
     import jax
     import jax.numpy as jnp
     from jax.experimental.pallas.ops.tpu.flash_attention import (
@@ -27,7 +30,7 @@ def main():
         flash_attention,
     )
 
-    B, H, S, D = 16, 12, 577, 64
+    B, H, S, D = args_cli.batch, 12, 577, 64
     S_PAD = 640
     rng = np.random.default_rng(0)
     # Model-realistic layout: the encoder holds (B, S, H, D) activations

@@ -74,7 +74,13 @@ def build_tiny_qwen_checkpoint(d: str) -> str:
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--videos", type=int, default=2)
-    p.add_argument("--duration", type=float, default=300.0)
+    p.add_argument("--duration", type=float, default=300.0,
+                   help="base duration; videos cycle x1/x2/x3 so the batch "
+                        "splits into multiple padded-length buckets")
+    p.add_argument("--batch_videos", type=int, default=0,
+                   help="videos per search batch (0 = all in one batch)")
+    p.add_argument("--uniform_duration", action="store_true",
+                   help="disable the duration mix (single bucket)")
     p.add_argument("--budget", type=float, default=1.0)
     p.add_argument("--detector_quant", type=str, default=None, choices=["int8"])
     p.add_argument("--verify_image_size", type=int, default=None)
@@ -97,12 +103,17 @@ def main():
     # ---- stage 0: dataset ----
     t0 = time.perf_counter()
     dataset = []
+    durations = []
     for i in range(args.videos):
         path = os.path.join(tmp, f"v{i}.mp4")
-        ev = args.duration * (0.5 + 0.08 * i)
+        dur = args.duration if args.uniform_duration else args.duration * (
+            1 + i % 3
+        )
+        durations.append(dur)
+        ev = dur * (0.5 + 0.08 * i / max(1, args.videos))
         fps = 24.0
         write_synthetic_video(
-            path, duration_sec=args.duration, fps=fps, hw=(192, 320),
+            path, duration_sec=dur, fps=fps, hw=(192, 320),
             objects=[PlantedObject("couch", (ev, ev + 8.0), (200, 40, 40),
                                    (0.5, 0.5), 0.4)],
         )
@@ -132,13 +143,40 @@ def main():
         FakeGrounder(target_objects=["couch"], cue_objects=["tv"]),
         initialize_heuristic("owl-vit-random"),
         search_out,
-        batch_videos=args.videos,
+        batch_videos=args.batch_videos or args.videos,
         search_budget=args.budget,
         confidence_threshold=2.0,     # worst case: full budget, no early exit
         config=search_cfg,
     )
     timings["search_s"] = round(time.perf_counter() - t0, 2)
     timings["videos"] = len(results)
+
+    # bucket accounting (mixed durations -> multiple padded lengths; the
+    # prefetch thread decodes+uploads the next bucket behind the search)
+    from tstar_tpu.utils.config import SearchConfig as _SC
+    from tstar_tpu.video.cache import probe_video_length
+
+    probe_cfg = search_cfg or _SC()
+    n_pads = [probe_video_length(d["video_path"], probe_cfg)[1]
+              for d in dataset]
+    timings["bucket_padded_lengths"] = sorted(set(n_pads))
+    timings["buckets"] = len(set(n_pads))
+    timings["prefetch"] = True  # search_videos default: decode+upload overlap
+    frames_scored = sum(
+        r.get("iterations", 0) * probe_cfg.frames_per_iteration
+        for r in results
+        if isinstance(r.get("iterations"), int)
+    )
+    # run_dataset_batched rows don't carry iterations; estimate from budget
+    if frames_scored == 0:
+        frames_scored = sum(
+            min(probe_cfg.budget_cap, int(dur * args.budget))
+            for dur in durations
+        )
+    timings["search_frames_scored"] = frames_scored
+    timings["search_frames_per_sec"] = round(
+        frames_scored / timings["search_s"], 1
+    )
 
     # ---- stage 2: keyframe metrics (eval_LV_Haystack.sh:40-42) ----
     for r, item in zip(results, dataset):

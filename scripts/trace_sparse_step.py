@@ -1,4 +1,4 @@
-"""Device-trace breakdown of the detection-sparse batched search step.
+"""Device-trace breakdown of a batched search step (sparse or worst-case).
 
 Answers VERDICT r2 item 1's question: what bounds the sparse regime's
 throughput plateau (9.8k f/s at B=8..16)?  Runs `--steps` masked batched
@@ -8,6 +8,9 @@ buckets them into: detector forward, grid build/preprocess, smoother,
 sampling/percentile/splat, scatter/state, other.
 
     python scripts/trace_sparse_step.py --batch 16 --steps 20
+    # int8 worst-case step (VERDICT r2 item 6):
+    python scripts/trace_sparse_step.py --batch 1 --steps 10 \
+        --detector_threshold 0.005 --quant int8
 """
 
 import argparse
@@ -88,6 +91,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--n_valid", type=int, default=1024)
+    ap.add_argument("--detector_threshold", type=float, default=10.0,
+                    help="10.0 = sparse regime (verify never fires); 0.005 "
+                         "= reference default (worst case w/ random weights)")
+    ap.add_argument("--quant", default=None, choices=[None, "int8"])
+    ap.add_argument("--verify_image_size", type=int, default=None)
     ap.add_argument("--trace_dir", default="/tmp/sparse_trace")
     ap.add_argument("--top", type=int, default=40)
     args = ap.parse_args()
@@ -105,7 +113,9 @@ def main():
     B, n_valid = args.batch, args.n_valid
     cfg = SearchConfig(
         search_budget=1.0, confidence_threshold=2.0,
-        detector_threshold=10.0, use_pallas_preprocess=False, verify_batch=4,
+        detector_threshold=args.detector_threshold,
+        detector_quant=args.quant, verify_image_size=args.verify_image_size,
+        use_pallas_preprocess=False, verify_batch=4,
     )
     n_pad = cfg.padded_frames(n_valid)
 
@@ -128,29 +138,38 @@ def main():
             model, variables, jnp.asarray(c),
             ["target"], ["cue one", "cue two"], tok, cfg,
         ))
-    bsc = OwlVitScorer(
-        cache=jnp.stack([s.cache for s in scorers]),
-        variables=variables,
-        query_embeds=jnp.stack([s.query_embeds for s in scorers]),
-        query_mask=jnp.stack([s.query_mask for s in scorers]),
-        class_weights=jnp.stack([s.class_weights for s in scorers]),
-        model=model,
-        config=cfg,
-    )
-    states = jax.tree_util.tree_map(
-        lambda *xs: jnp.stack(xs),
-        *[init_state(n_valid, 1, cfg, jax.random.key(10 + i), n_pad=n_pad)
-          for i in range(B)],
-    )
+    if B == 1:
+        # single-video engine path (what bench.py's B=1 numbers measure)
+        from tstar_tpu.search.engine import _masked_step_jit
+
+        bsc = scorers[0]
+        states = init_state(n_valid, 1, cfg, jax.random.key(10), n_pad=n_pad)
+        step = _masked_step_jit
+    else:
+        bsc = OwlVitScorer(
+            cache=jnp.stack([s.cache for s in scorers]),
+            variables=variables,
+            query_embeds=jnp.stack([s.query_embeds for s in scorers]),
+            query_mask=jnp.stack([s.query_mask for s in scorers]),
+            class_weights=jnp.stack([s.class_weights for s in scorers]),
+            model=model,
+            config=cfg,
+        )
+        states = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[init_state(n_valid, 1, cfg, jax.random.key(10 + i), n_pad=n_pad)
+              for i in range(B)],
+        )
+        step = _batched_step_jit
 
     # compile + warm
-    out = _batched_step_jit(states, bsc, cfg)
+    out = step(states, bsc, cfg)
     np.asarray(out.iteration)  # host fetch fence
 
     jax.profiler.start_trace(args.trace_dir)
     s = states
     for _ in range(args.steps):
-        s = _batched_step_jit(s, bsc, cfg)
+        s = step(s, bsc, cfg)
     np.asarray(s.iteration)  # fence inside the trace window
     jax.profiler.stop_trace()
 

@@ -101,3 +101,95 @@ class TestDetectionHistory:
         )
         searcher.search()
         assert searcher.detect_bbox_iters == []
+
+
+@pytest.fixture(scope="module")
+def two_videos(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dhb")
+    paths = []
+    for i in range(2):
+        p = str(d / f"v{i}.mp4")
+        write_synthetic_video(
+            p, duration_sec=40.0 + 10 * i, fps=10.0, hw=(48, 64),
+            objects=[PlantedObject("couch", (10.0, 15.0), (200, 40, 40),
+                                   (0.5, 0.5), 0.4)],
+        )
+        paths.append(p)
+    return paths
+
+
+class TestBatchedDetectionHistory:
+    """VERDICT r2 item 8: the per-iteration detection history must exist for
+    BATCHED searches too, with identical search results."""
+
+    def test_batched_history_schema_and_equality(self, two_videos, tmp_path):
+        from tstar_tpu.parallel.multi_video import VideoTask, search_videos
+
+        cfg = SearchConfig(search_budget=0.5, cache_hw=(32, 64),
+                           confidence_threshold=2.0)
+        tasks = [
+            VideoTask(two_videos[0], ["couch"], ["tv"], seed=0),
+            VideoTask(two_videos[1], ["couch"], ["lamp"], seed=1),
+        ]
+        plain = search_videos(tasks, _tiny_heuristic(), cfg)
+        with_hist = search_videos(
+            tasks, _tiny_heuristic(), cfg, collect_history=True
+        )
+
+        for p, h in zip(plain, with_hist):
+            # history collection must not change the search
+            assert h["keyframe_secs"] == p["keyframe_secs"]
+            assert h["iterations"] == p["iterations"]
+            n_iters = h["iterations"]
+            assert len(h["P_history"]) == n_iters
+            assert len(h["sampled_history"]) == n_iters
+            assert len(h["detect_bbox_iters"]) == n_iters
+            for d in h["detect_bbox_iters"]:
+                assert set(d) == {"boxes", "scores", "class_ids"}
+                assert len(d["scores"]) == len(d["boxes"]) == len(d["class_ids"])
+            assert any(len(d["boxes"]) for d in h["detect_bbox_iters"])
+
+        # annotated GIF artifact from the result row alone
+        from tstar_tpu.viz.artifacts import save_batched_search_artifacts
+
+        gif = str(tmp_path / "v0.gif")
+        ok = save_batched_search_artifacts(
+            two_videos[0], with_hist[0],
+            (cfg.grid_rows, cfg.grid_cols), cfg.cell_hw,
+            ["couch", "tv", " "], 64, gif,
+        )
+        assert ok and __import__("os").path.exists(gif)
+
+    def test_batched_runner_collect_history(self, two_videos, tmp_path):
+        import json
+
+        from tstar_tpu.bench.runner import run_dataset_batched
+        from tstar_tpu.grounding.fake import FakeGrounder
+
+        dataset = [
+            {"video_id": f"v{i}", "video_path": p,
+             "question": "Where is the couch?", "options": "A) L\nB) R"}
+            for i, p in enumerate(two_videos)
+        ]
+        out = str(tmp_path / "hist.json")
+        art = str(tmp_path / "artifacts")
+        results = run_dataset_batched(
+            dataset,
+            FakeGrounder(target_objects=["couch"], cue_objects=["tv"]),
+            _tiny_heuristic(),
+            out,
+            batch_videos=2,
+            search_budget=0.5,
+            collect_history=True,
+            artifact_dir=art,
+        )
+        assert len(results) == 2
+        for r in results:
+            assert len(r["detect_bbox_iters"]) >= 1
+            assert len(r["sampled_history"]) >= 1
+        import os as _os
+
+        gifs = [f for f in _os.listdir(art) if f.endswith(".gif")]
+        assert len(gifs) == 2
+        saved = json.load(open(out))
+        assert all("detect_bbox_iters" in r for r in saved)

@@ -36,6 +36,21 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 pytest.importorskip("safetensors")
 
+# These tests allocate multi-GB weight sets; the file is named test_zz_* so
+# they run LAST (alphabetical collection) and cannot raise the heap
+# high-water mark under every later compile — a full-suite run with them
+# early segfaulted XLA's CPU compiler near the end of the suite (allocator
+# pressure).  The fixture below releases executables + arrays eagerly.
+
+
+@pytest.fixture(autouse=True)
+def _release_memory():
+    yield
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
+
 
 def _write_clip_vocab(d):
     chars = list("abcdefghijklmnopqrstuvwxyz ")

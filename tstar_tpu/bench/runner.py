@@ -80,12 +80,20 @@ def run_dataset_batched(
     search_budget: float = 1.0,
     seed: int = 0,
     config=None,
+    collect_history: bool = False,
+    artifact_dir: str = None,
     **_ignored,
 ) -> List[Dict[str, Any]]:
     """Batched variant: grounding runs serially (VLM/API-bound), searches run
     ``batch_videos`` at a time in one on-device loop (parallel/multi_video).
 
     The detector backend must produce OwlVitScorer-shaped scorers.
+
+    ``collect_history`` threads the reference's per-iteration detection
+    history through the batched search (interface_searcher.py:469-474):
+    each result row gains ``sampled_history`` + ``detect_bbox_iters``, and
+    with ``artifact_dir`` set, an annotated per-iteration search GIF is
+    written per video (the serial runner's framework artifacts, batched).
     """
     import dataclasses as _dc
 
@@ -180,7 +188,10 @@ def run_dataset_batched(
     for start in range(0, len(live), batch_videos):
         chunk = live[start : start + batch_videos]
         try:
-            outs = search_videos([t for _, t in chunk], heuristic, config)
+            outs = search_videos(
+                [t for _, t in chunk], heuristic, config,
+                collect_history=collect_history,
+            )
         except Exception as e:  # noqa: BLE001
             logger.error("batched search failed: %s", e)
             for i, _ in chunk:
@@ -189,6 +200,14 @@ def run_dataset_batched(
         for (i, _), out in zip(chunk, outs):
             rows[i]["keyframe_timestamps"] = out["keyframe_timestamps"]
             rows[i]["keyframe_distribution"] = out["keyframe_distribution"]
+            if collect_history:
+                rows[i]["sampled_history"] = out.get("sampled_history", [])
+                rows[i]["detect_bbox_iters"] = out.get("detect_bbox_iters", [])
+                if artifact_dir:
+                    _save_batched_artifacts(
+                        dataset[i], rows[i], tasks[i], heuristic, config,
+                        artifact_dir,
+                    )
 
     results = [r for r in rows if r.get("error") is None]
     os.makedirs(os.path.dirname(output_json) or ".", exist_ok=True)
@@ -196,6 +215,35 @@ def run_dataset_batched(
         json.dump(results, f, indent=4, ensure_ascii=False)
     logger.info("batched processing completed; results saved to %s", output_json)
     return results
+
+
+def _save_batched_artifacts(item, row, task, heuristic, config, artifact_dir):
+    """Annotated search GIF per batched item (best effort; never fails the
+    run — mirrors the reference's per-item try/except artifact writes)."""
+    import os as _os
+
+    from tstar_tpu.viz.artifacts import save_batched_search_artifacts
+
+    try:
+        det_size = heuristic.model.cfg.vision.image_size
+    except AttributeError:
+        det_size = getattr(getattr(heuristic, "model", None), "cfg", None)
+        det_size = getattr(det_size, "image_size", None)
+    if det_size is None:
+        return
+    names = list(task.target_objects) + list(task.cue_objects) + [" "]
+    _os.makedirs(artifact_dir, exist_ok=True)
+    gif = _os.path.join(
+        artifact_dir, f"{item.get('video_id', 'video')}_searching_iterations.gif"
+    )
+    try:
+        save_batched_search_artifacts(
+            item["video_path"], row,
+            (config.grid_rows, config.grid_cols), config.cell_hw,
+            names, det_size, gif, sampling_fps=config.sampling_fps,
+        )
+    except Exception as e:  # noqa: BLE001
+        logger.error("artifact write failed for %s: %s", item.get("video_id"), e)
 
 
 def run_dataset(

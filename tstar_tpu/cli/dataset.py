@@ -40,6 +40,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verify_image_size", type=int, default=None,
                    help="verification rescore resolution (e.g. 512); "
                         "default = detector native size")
+    p.add_argument("--collect_history", action="store_true",
+                   help="batched runs: record per-iteration sampled frames + "
+                        "detections per video (reference detect_bbox_iters)")
+    p.add_argument("--artifact_dir", type=str, default=None,
+                   help="with --collect_history: write annotated "
+                        "per-iteration search GIFs here")
     return p
 
 
@@ -86,7 +92,10 @@ def main(argv=None):
 
         results = run_dataset_batched(
             dataset, grounder, heuristic, output_json,
-            batch_videos=args.batch_videos, **common,
+            batch_videos=args.batch_videos,
+            collect_history=args.collect_history or bool(args.artifact_dir),
+            artifact_dir=args.artifact_dir,
+            **common,
         )
     else:
         results = run_dataset(

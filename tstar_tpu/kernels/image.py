@@ -99,12 +99,23 @@ def build_detector_grid(
     cell<->frame correspondence the score splat relies on
     (interface_searcher.py:296-306).
     """
+    import os
+
     rows, cols = grid_shape
     cell_h, cell_w = detector_size // rows, detector_size // cols
     frames = cache[secs]                                   # (K, ch, cw, 3)
     cells = bilinear_resize(frames, (cell_h, cell_w))      # (K, h', w', 3)
-    grid = pack_grid(cells, rows, cols)                    # (S, S, 3)
-    return normalize_clip(grid, dtype)[None]
+    if os.environ.get("TSTAR_PREPROCESS_F32_PACK"):
+        # previous order (f32 layout churn), kept for A/B measurement
+        grid = pack_grid(cells, rows, cols)
+        return normalize_clip(grid, dtype)[None]
+    # Normalize (elementwise, commutes with packing bit-for-bit) BEFORE the
+    # grid/patch layout transposes: the r3 B=16 device trace showed ~3.7 ms
+    # of a 26 ms step in f32 reshape/copy chains between the resize and the
+    # patch matmul — converting to the compute dtype first runs that churn
+    # at half the bytes.
+    cells = normalize_clip(cells, dtype)
+    return pack_grid(cells, rows, cols)[None]              # (1, S, S, 3)
 
 
 def build_verify_batch(

@@ -107,7 +107,14 @@ def decode_step(
 ):
     """-> (logits (B, vocab), caches).  Single-step entry point (kept for
     callers that drive decoding themselves; ``generate`` uses the fused
-    on-device loop below)."""
+    on-device loop below).
+
+    DONATION CONTRACT: the input ``caches`` buffers are donated (in-place
+    KV update on TPU) — after a call the passed-in cache pytree is dead and
+    the caller MUST thread the RETURNED caches into the next step.  Reusing
+    a pre-call cache (e.g. branching or rewinding a decode) raises a
+    donated-buffer error; snapshot with ``jax.tree_util.tree_map(jnp.copy,
+    caches)`` first if you need to fork."""
     return _decode_forward(model, variables, token, index, next_pos, key_valid, caches)
 
 

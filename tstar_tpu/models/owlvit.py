@@ -314,17 +314,18 @@ class OwlViTDetector(nn.Module):
 def interpolate_position_embedding(
     pos: jax.Array, src_side: int, dst_side: int
 ) -> jax.Array:
-    """Bilinearly resample a ViT position embedding to a new patch grid.
+    """Bicubically resample a ViT position embedding to a new patch grid.
 
     ``pos`` is (1 + src_side^2, D) with the CLS row first.  Standard ViT
-    resolution-change recipe (HF Owlv2 ``interpolate_pos_encoding``); used to
-    run verification rescores at a reduced image size
-    (SearchConfig.verify_image_size).
+    resolution-change recipe (HF Owlv2 ``interpolate_pos_encoding`` uses
+    bicubic; ``method="cubic"`` is jax.image's Keys cubic — the same filter
+    family, matching the cited recipe); used to run verification rescores at
+    a reduced image size (SearchConfig.verify_image_size).
     """
     cls_row, grid = pos[:1], pos[1:]
     d = grid.shape[-1]
     grid = grid.reshape(src_side, src_side, d)
-    grid = jax.image.resize(grid, (dst_side, dst_side, d), method="linear")
+    grid = jax.image.resize(grid, (dst_side, dst_side, d), method="cubic")
     return jnp.concatenate([cls_row, grid.reshape(dst_side * dst_side, d)], axis=0)
 
 

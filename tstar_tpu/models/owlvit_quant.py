@@ -142,7 +142,12 @@ def encode_image_int8(
         )
         q, k, v = jnp.split(qkv, 3, axis=-1)
         split = lambda t: t.reshape(b, seq, c.num_heads, head_dim)
-        attn = jax.nn.dot_product_attention(split(q), split(k), split(v))
+        from tstar_tpu.kernels.attention import flash_mha, use_flash_attention
+
+        if use_flash_attention(split(q), None):
+            attn = flash_mha(split(q), split(k), split(v))
+        else:
+            attn = jax.nn.dot_product_attention(split(q), split(k), split(v))
         attn = attn.reshape(b, seq, c.hidden_size)
         x = x + dense_w8a8(
             attn, lyr["o"]["w"], lyr["o"]["s"], lyr["o"]["b"], out_dtype=dtype

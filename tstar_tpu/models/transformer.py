@@ -3,9 +3,10 @@
 TPU notes: attention and MLP matmuls are expressed as single large einsums so
 XLA tiles them onto the MXU; compute dtype is configurable (bfloat16 on TPU,
 float32 for parity tests) while parameters stay float32.  Sequence lengths in
-this framework are small and static (577 vision tokens, 16 text tokens), so
-plain softmax attention is the right choice — no flash-attention kernel is
-needed at these sizes.
+this framework are small and static (577 vision tokens, 16 text tokens) and
+XLA's fused attention is the measured end-to-end winner at every batch size —
+the Pallas flash kernel is an opt-in measured NEGATIVE here
+(TSTAR_FLASH_ATTENTION=1; numbers in kernels/attention.py).
 """
 
 from __future__ import annotations
@@ -96,7 +97,21 @@ class MultiHeadAttention(nn.Module):
             attn_bias = jnp.broadcast_to(
                 attn_bias, (attn_bias.shape[0], self.num_heads, s, s)
             )
-        out = jax.nn.dot_product_attention(q, k, v, bias=attn_bias)
+        from tstar_tpu.kernels.attention import (
+            bf16_probs_attention,
+            flash_mha,
+            use_bf16_probs,
+            use_flash_attention,
+        )
+
+        if use_flash_attention(q, attn_bias):
+            # opt-in Pallas flash (measured e2e negative; kernels/attention.py)
+            out = flash_mha(q, k, v)
+        elif use_bf16_probs(q, attn_bias):
+            # opt-in: halve the materialized-probs HBM traffic
+            out = bf16_probs_attention(q, k, v)
+        else:
+            out = jax.nn.dot_product_attention(q, k, v, bias=attn_bias)
         out = out.reshape(*x.shape[:-1], d)
         return dense("out_proj")(out)
 

@@ -14,6 +14,7 @@ from typing import Any, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tstar_tpu.search.detector_scorer import OwlVitScorer
 from tstar_tpu.search.engine import pop_frame_secs, search_step
@@ -181,8 +182,9 @@ def _batched_verification(
 
 
 def _flat_batched_step(
-    states: SearchState, scorer, config: SearchConfig
-) -> SearchState:
+    states: SearchState, scorer, config: SearchConfig,
+    collect_detections: bool = False,
+) -> Tuple[SearchState, dict]:
     """One multi-video step with FLAT detector batches (no vmapped forwards).
 
     The search math (sampling, splat, smoother, replay) vmaps over videos —
@@ -201,7 +203,11 @@ def _flat_batched_step(
     )(states, sample_key)                                 # (B, K)
     budget = states.budget - k
 
-    conf, presence = scorer.score_grid_batch(secs)        # flat forward
+    detections = None
+    if collect_detections and hasattr(scorer, "score_grid_batch_detailed"):
+        conf, presence, detections = scorer.score_grid_batch_detailed(secs)
+    else:
+        conf, presence = scorer.score_grid_batch(secs)    # flat forward
     scores, visited, p, _ = jax.vmap(
         lambda st, se, co: apply_grid_scores(st, se, co, config)
     )(states, secs, conf)
@@ -209,7 +215,7 @@ def _flat_batched_step(
     scores, remaining = _batched_verification(
         scores, states.remaining, secs, presence, scorer, config
     )
-    return states.replace(
+    stepped = states.replace(
         scores=scores,
         visited=visited,
         P=p,
@@ -218,19 +224,29 @@ def _flat_batched_step(
         iteration=states.iteration + 1,
         rng=rng,
     )
+    aux = {"secs": secs, "conf": conf}
+    if detections is not None:
+        aux["detections"] = detections
+    return stepped, aux
 
 
 def batched_search_step(
-    states: SearchState, scorer, config: SearchConfig, in_axes=None
+    states: SearchState, scorer, config: SearchConfig, in_axes=None,
+    collect_detections: bool = False,
 ) -> SearchState:
     """One masked step across the video batch.
 
     Detector scorers with flat-batch methods (OwlVitScorer) take the
-    flat-forward path; others fall back to vmapping the single-video step."""
+    flat-forward path; others fall back to vmapping the single-video step.
+    With ``collect_detections`` (static) returns ``(states, aux)`` where aux
+    carries per-video {active, secs, conf[, detections]} for the reference's
+    per-iteration history (interface_searcher.py:469-474)."""
     active = _active(states)
 
     if hasattr(scorer, "score_grid_batch"):
-        stepped = _flat_batched_step(states, scorer, config)
+        stepped, aux = _flat_batched_step(
+            states, scorer, config, collect_detections
+        )
     else:
         # Conv-based scorers (YoloWorldScorer) batch fine under vmap: the
         # batch dimension is native to convolutions, so none of the 5D-dot
@@ -238,15 +254,20 @@ def batched_search_step(
         axes = in_axes if in_axes is not None else scorer_batch_axes(scorer)
 
         def one(state, sc):
-            return search_step(state, sc, config)[0]
+            return search_step(state, sc, config, collect_detections)
 
-        stepped = jax.vmap(one, in_axes=(0, axes))(states, scorer)
+        stepped, aux = jax.vmap(one, in_axes=(0, axes))(states, scorer)
+        aux = {k: v for k, v in aux.items() if k in ("secs", "conf", "detections")}
 
     def select(new, old):
         mask = active.reshape(active.shape + (1,) * (new.ndim - 1))
         return jnp.where(mask, new, old)
 
-    return jax.tree_util.tree_map(select, stepped, states)
+    masked = jax.tree_util.tree_map(select, stepped, states)
+    if not collect_detections:
+        return masked
+    aux["active"] = active
+    return masked, aux
 
 
 def run_search_batched_chained(
@@ -272,8 +293,51 @@ def _batched_pop(states: SearchState, config: SearchConfig):
     return jax.vmap(pop_one)(states)
 
 
+def run_search_batched_with_history(
+    states: SearchState,
+    scorer,
+    config: SearchConfig,
+    max_iterations: int,
+) -> Tuple[SearchState, jax.Array, list]:
+    """Batched search that snapshots per-iteration histories for viz.
+
+    The multi-video counterpart of ``engine.run_search_with_history``
+    (VERDICT r2 item 8): each snapshot carries the per-video ``active``
+    mask plus {secs, conf, P, scores, visited[, detections]} so dataset
+    runs can emit the reference's per-iteration artifacts
+    (``detect_bbox_iters`` / annotated GIFs, interface_searcher.py:469-474)
+    for every video in the batch.  Bit-identical search results to
+    ``run_search_batched_chained`` (same step function, same order)."""
+    history = []
+    for _ in range(max_iterations):
+        active = np.asarray(_active(states))
+        if not active.any():
+            break
+        new_states, aux = _batched_step_hist_jit(states, scorer, config)
+        snap = {
+            "active": active,
+            "secs": np.asarray(aux["secs"]),
+            "conf": np.asarray(aux["conf"]),
+            "P": np.asarray(new_states.P),
+            "scores": np.asarray(new_states.scores),
+            "visited": np.asarray(new_states.visited),
+        }
+        if "detections" in aux:
+            snap["detections"] = jax.device_get(aux["detections"])
+        history.append(snap)
+        states = new_states
+    finals, secs = _batched_pop_jit(states, config)
+    return finals, secs, history
+
+
 # Module-level jits: repeated batched searches retrace once per shape.
 _batched_step_jit = jax.jit(batched_search_step, static_argnums=2)
+_batched_step_hist_jit = jax.jit(
+    lambda ss, sc, cfg: batched_search_step(
+        ss, sc, cfg, collect_detections=True
+    ),
+    static_argnums=2,
+)
 _batched_pop_jit = jax.jit(_batched_pop, static_argnums=1)
 
 

@@ -71,6 +71,7 @@ def _search_bucket(
     heuristic,
     config: SearchConfig,
     mesh,
+    collect_history: bool = False,
 ) -> List[Dict]:
     """Stack one equal-length bucket and run it to completion on device.
 
@@ -143,9 +144,17 @@ def _search_bucket(
         batched_scorer = dataclasses.replace(batched_scorer, **per_video)
 
     max_iters = max(config.iteration_cap(nv) for nv in n_valids)
-    finals, secs = run_search_batched_chained(
-        stacked, batched_scorer, batched_config, max_iterations=max_iters
-    )
+    history = None
+    if collect_history:
+        from tstar_tpu.parallel.batched import run_search_batched_with_history
+
+        finals, secs, history = run_search_batched_with_history(
+            stacked, batched_scorer, batched_config, max_iterations=max_iters
+        )
+    else:
+        finals, secs = run_search_batched_chained(
+            stacked, batched_scorer, batched_config, max_iterations=max_iters
+        )
     secs = np.asarray(secs)
     remaining = np.asarray(finals.remaining)
     iterations = np.asarray(finals.iteration)
@@ -157,17 +166,54 @@ def _search_bucket(
         left = [
             t for j, t in enumerate(task.target_objects) if remaining[i, j]
         ]
-        results.append(
-            {
-                "video_path": task.video_path,
-                "keyframe_timestamps": ts,
-                "keyframe_secs": secs[i].tolist(),
-                "keyframe_distribution": final_p[i, : n_valids[i]].tolist(),
-                "remaining_targets": left,
-                "iterations": int(iterations[i]),
-            }
-        )
+        row = {
+            "video_path": task.video_path,
+            "keyframe_timestamps": ts,
+            "keyframe_secs": secs[i].tolist(),
+            "keyframe_distribution": final_p[i, : n_valids[i]].tolist(),
+            "remaining_targets": left,
+            "iterations": int(iterations[i]),
+        }
+        if history is not None:
+            row.update(_per_video_history(history, i, n_valids[i]))
+        results.append(row)
     return results
+
+
+def _per_video_history(history, i: int, n_valid: int) -> Dict:
+    """Slice the batched snapshots into one video's reference-shaped
+    histories (P_history / Score_history / non_visiting_history /
+    sampled_history / detect_bbox_iters), keeping only the iterations this
+    video was still active for."""
+    p_hist, s_hist, nv_hist, samp, dets = [], [], [], [], []
+    for snap in history:
+        if not snap["active"][i]:
+            continue
+        p_hist.append(snap["P"][i][:n_valid].tolist())
+        s_hist.append(snap["scores"][i][:n_valid].tolist())
+        nv_hist.append(
+            (1.0 - snap["visited"][i][:n_valid].astype(np.float32)).tolist()
+        )
+        samp.append(snap["secs"][i].tolist())
+        if "detections" in snap:
+            d = snap["detections"]
+            valid = np.asarray(d["valid"][i])
+            dets.append(
+                {
+                    "boxes": np.asarray(d["boxes"][i])[valid].tolist(),
+                    "scores": np.asarray(d["scores"][i])[valid].tolist(),
+                    "class_ids": np.asarray(d["class_ids"][i])[valid].tolist(),
+                }
+            )
+    out = {
+        "P_history": p_hist,
+        "Score_history": s_hist,
+        "non_visiting_history": nv_hist,
+        "sampled_history": samp,
+    }
+    if dets:
+        out["detect_bbox_iters"] = dets
+    return out
 
 
 def search_videos(
@@ -179,6 +225,7 @@ def search_videos(
     decode_workers: int = 2,
     prefetch: bool = True,
     hbm_budget_bytes: Optional[int] = None,
+    collect_history: bool = False,
 ) -> List[Dict]:
     """Search all videos to completion in batched on-device loops.
 
@@ -244,7 +291,8 @@ def search_videos(
                 submit(buckets[b + 1])
             caches = [futures.pop(i).result() for i in bucket]
             out = _search_bucket(
-                [tasks[i] for i in bucket], caches, heuristic, config, mesh
+                [tasks[i] for i in bucket], caches, heuristic, config, mesh,
+                collect_history=collect_history,
             )
             del caches  # per-video frames already released by _search_bucket
             for i, r in zip(bucket, out):

@@ -194,11 +194,10 @@ class OwlVitScorer:
     # FLATTEN videos x frames into one detector batch axis — the MXU sees
     # ordinary 4D attention — and vmap only the cheap gather/splat ends.
 
-    def score_grid_batch(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
-        """(B, K) sampled seconds -> (conf (B, K), presence (B, K, C)).
-
-        One grid image per video, scored in a single flat detector forward
-        with per-video query embeddings."""
+    def _score_grid_batch_full(self, secs: jax.Array):
+        """Shared core of the flat multi-video grid scoring: one grid image
+        per video, ONE flat detector forward with per-video query embeddings.
+        -> (conf (B, K), presence (B, K, C), raw (scores, class_ids, boxes))."""
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
@@ -217,7 +216,37 @@ class OwlVitScorer:
             )
             return conf_map.reshape(-1), presence
 
-        return jax.vmap(one)(boxes, scores, class_ids, keep, self.class_weights)
+        conf, presence = jax.vmap(one)(
+            boxes, scores, class_ids, keep, self.class_weights
+        )
+        return conf, presence, (scores, class_ids, boxes)
+
+    def score_grid_batch(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        """(B, K) sampled seconds -> (conf (B, K), presence (B, K, C))."""
+        conf, presence, _ = self._score_grid_batch_full(secs)
+        return conf, presence
+
+    def score_grid_batch_detailed(
+        self, secs: jax.Array, max_boxes: int = 64
+    ) -> Tuple[jax.Array, jax.Array, dict]:
+        """score_grid_batch + each video's top-``max_boxes`` raw detections.
+
+        The multi-video counterpart of ``score_grid_detailed``: feeds the
+        per-iteration detection history (reference ``detect_bbox_iters``,
+        interface_searcher.py:80-82,469-474) for BATCHED dataset runs.  All
+        detection fields carry a leading video axis."""
+        conf, presence, (scores, class_ids, boxes) = (
+            self._score_grid_batch_full(secs)
+        )
+        m = min(max_boxes, scores.shape[-1])
+        top_s, idx = jax.lax.top_k(scores, m)                 # (B, m)
+        dets = {
+            "scores": top_s,
+            "class_ids": jnp.take_along_axis(class_ids, idx, axis=-1),
+            "boxes": jnp.take_along_axis(boxes, idx[..., None], axis=-2),
+            "valid": top_s > self.config.detector_threshold,
+        }
+        return conf, presence, dets
 
     def score_verify_flat(
         self, video_idx: jax.Array, secs: jax.Array
@@ -366,8 +395,18 @@ def build_prompt_batch(
 # EVERY video by the batched runner's per-video build_scorer calls — on the
 # real B/32 model that is an ~87M-param host-side re-quantization per video.
 # Memoize on object identity; entries hold a strong reference to their
-# variables so ids cannot be reused while cached.
+# variables so ids cannot be reused while cached.  NOTE: that strong
+# reference pins up to 8 full weight sets (weakrefs are not an option —
+# plain param dicts don't support them); long-lived processes that cycle
+# through many distinct weight sets should call
+# ``clear_weight_view_cache()`` after dropping a model.
 _WEIGHT_VIEW_CACHE: dict = {}
+
+
+def clear_weight_view_cache() -> None:
+    """Release every cached derived weight view (int8 towers, reduced-
+    resolution verify views) and the model/variables references they pin."""
+    _WEIGHT_VIEW_CACHE.clear()
 
 
 def _weight_views(model: OwlViTDetector, variables: Any, config: SearchConfig):
