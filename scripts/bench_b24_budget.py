@@ -33,6 +33,8 @@ def main():
     ap.add_argument("--budget", type=float, default=0.25,
                     help="search budget fraction (0.25 keeps the run short; "
                          "memory pressure is set by cache size, not budget)")
+    ap.add_argument("--hbm_pool", type=float, default=None,
+                    help="override the detected device pool (GiB)")
     args = ap.parse_args()
 
     import jax
@@ -59,9 +61,16 @@ def main():
     synth_s = time.perf_counter() - t0
 
     cfg = SearchConfig(search_budget=args.budget, confidence_threshold=2.0)
-    budget = per_video_hbm_budget(args.videos)
+    pool = int(args.hbm_pool * 2 ** 30) if args.hbm_pool else None
+    budget = per_video_hbm_budget(args.videos, total_bytes=pool)
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        print("device memory_stats bytes_limit:", stats.get("bytes_limit"))
+    except Exception as e:
+        print("memory_stats unavailable:", e)
     t0 = time.perf_counter()
-    results = search_videos(tasks, initialize_heuristic("owl-vit-random"), cfg)
+    results = search_videos(tasks, initialize_heuristic("owl-vit-random"), cfg,
+                            hbm_budget_bytes=pool)
     search_s = time.perf_counter() - t0
 
     frames = sum(r["iterations"] * cfg.frames_per_iteration for r in results)

@@ -112,11 +112,52 @@ class TestSearchVideos:
             VideoTask(videos[0], ["couch"], ["tv"], seed=0),
             VideoTask(videos[1], ["couch"], ["lamp"], seed=1),
         ]
-        # both videos pad to 128 s -> one bucket of 2; an 8 GiB pool with
-        # the 4 GiB reserve and 2x concurrency yields 1 GiB per video
+        # both videos pad to 128 s -> one bucket of 2; an 8 GiB pool minus
+        # the batch-aware reserve, over 2x concurrency, split per video
+        from tstar_tpu.video.cache import (
+            HBM_PER_VIDEO_WORKSPACE_BYTES,
+            HBM_RESERVE_BYTES,
+        )
+
         search_videos(tasks, _tiny_heuristic(), cfg,
                       hbm_budget_bytes=8 * 1024 ** 3)
-        assert seen == [1 * 1024 ** 3] * 2
+        want = (8 * 1024 ** 3 - HBM_RESERVE_BYTES
+                - 2 * HBM_PER_VIDEO_WORKSPACE_BYTES) // 4
+        assert seen == [want] * 2
+
+    def test_bucket_oom_retries_with_halved_budget(self, videos, monkeypatch):
+        """A RESOURCE_EXHAUSTED bucket retries with half the per-video cache
+        budget (shared-tenancy chips don't report their free pool)."""
+        import jax
+
+        import tstar_tpu.parallel.multi_video as mv
+
+        real = mv._search_bucket
+        calls = []
+
+        def flaky(tasks, caches, heuristic, config, mesh, collect_history=False):
+            calls.append([c.frames.shape if c is not None else None
+                          for c in caches])
+            if len(calls) == 1:
+                raise jax.errors.JaxRuntimeError(
+                    "RESOURCE_EXHAUSTED: TPU backend error (ResourceExhausted)."
+                )
+            return real(tasks, caches, heuristic, config, mesh,
+                        collect_history=collect_history)
+
+        monkeypatch.setattr(mv, "_search_bucket", flaky)
+        cfg = SearchConfig(search_budget=0.2, cache_hw=(64, 128))
+        tasks = [VideoTask(videos[0], ["couch"], ["tv"], seed=0)]
+        results = search_videos(
+            tasks, _tiny_heuristic(), cfg,
+            # pool so small the retry's halved budget forces a downscale
+            hbm_budget_bytes=8 * 1024 ** 3,
+        )
+        assert len(calls) == 2          # failed once, retried once
+        assert len(results) == 1
+        assert len(results[0]["keyframe_timestamps"]) == cfg.search_nframes
+        # the retry rebuilt the cache (possibly at a lower resolution)
+        assert calls[1][0] is not None
 
     def test_flat_batched_equals_single_video(self):
         """The flat-batch step (one detector forward across videos) must

@@ -131,6 +131,7 @@ class TestFrameCache:
         videos resolves to a cache resolution where the whole pipeline
         (stacked cache + pipelining copies + reserve) fits a 16 GB chip."""
         from tstar_tpu.video.cache import (
+            HBM_PER_VIDEO_WORKSPACE_BYTES,
             HBM_RESERVE_BYTES,
             fit_cache_hw,
             per_video_hbm_budget,
@@ -142,22 +143,29 @@ class TestFrameCache:
         hw = fit_cache_hw((192, 384), n_pad, budget)
         per_video = n_pad * hw[0] * hw[1] * 3
         assert per_video <= budget
-        # 2x concurrency (stack assembly / next-bucket prefetch) + reserve
-        assert bucket * 2 * per_video + HBM_RESERVE_BYTES <= total
+        # 2x concurrency (stack assembly / next-bucket prefetch) + the
+        # batch-aware reserve (weights/scratch + per-video step workspace)
+        reserve = HBM_RESERVE_BYTES + bucket * HBM_PER_VIDEO_WORKSPACE_BYTES
+        assert bucket * 2 * per_video + reserve <= total
         # and the downscale is moderate, not a collapse to the floor
         assert hw[0] >= 128 and hw[1] >= 256
 
     def test_per_video_budget_small_buckets_keep_default(self):
         from tstar_tpu.video.cache import (
             DEFAULT_HBM_BUDGET_BYTES,
+            HBM_PER_VIDEO_WORKSPACE_BYTES,
+            HBM_RESERVE_BYTES,
             per_video_hbm_budget,
         )
 
-        # B=1/B=2 on a 16 GB pool: capped at the single-video default
-        assert per_video_hbm_budget(1, total_bytes=16 * 1024 ** 3) == \
+        total = 16 * 1024 ** 3
+        # B=1 on a 16 GB pool: capped at the single-video default
+        assert per_video_hbm_budget(1, total_bytes=total) == \
             DEFAULT_HBM_BUDGET_BYTES
-        assert per_video_hbm_budget(2, total_bytes=16 * 1024 ** 3) == \
-            3 * 1024 ** 3
+        # B=2: (total - reserve(2)) / 4
+        want = (total - HBM_RESERVE_BYTES
+                - 2 * HBM_PER_VIDEO_WORKSPACE_BYTES) // 4
+        assert per_video_hbm_budget(2, total_bytes=total) == want
 
     def test_too_short_video_raises(self, tmp_path):
         path = str(tmp_path / "short.mp4")

@@ -19,6 +19,7 @@ Two throughput measures over the serial reference loop:
 from __future__ import annotations
 
 import dataclasses
+import gc
 import logging
 from concurrent.futures import ThreadPoolExecutor
 from typing import Dict, List, Optional, Sequence, Tuple
@@ -290,10 +291,43 @@ def search_videos(
             if prefetch and b + 1 < len(buckets):
                 submit(buckets[b + 1])
             caches = [futures.pop(i).result() for i in bucket]
-            out = _search_bucket(
-                [tasks[i] for i in bucket], caches, heuristic, config, mesh,
-                collect_history=collect_history,
-            )
+            budget = budget_by_index[bucket[0]]
+            out = None
+            for attempt in range(3):
+                oom = False
+                try:
+                    out = _search_bucket(
+                        [tasks[i] for i in bucket], caches, heuristic, config,
+                        mesh, collect_history=collect_history,
+                    )
+                except jax.errors.JaxRuntimeError as e:
+                    # Shared-tenancy chips under-report (or don't report)
+                    # their free pool: the budget math can be right about
+                    # OUR bytes and still OOM against a co-tenant.  Retry
+                    # the bucket with half the per-video budget (lower
+                    # cache resolution) — decode is seconds, a failed
+                    # dataset run is hours.
+                    if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 2:
+                        raise
+                    oom = True
+                # Rebuild OUTSIDE the except block: the exception traceback
+                # pins _search_bucket's frame (and its stacked cache) until
+                # the handler exits — rebuilding inside it would hold the
+                # failed attempt's HBM alive and OOM again.
+                if not oom:
+                    break
+                del caches
+                gc.collect()
+                budget = max(budget // 2, 32 * 1024 ** 2)
+                logger.warning(
+                    "bucket of %d videos hit RESOURCE_EXHAUSTED; retrying "
+                    "with a %.0f MB per-video cache budget",
+                    len(bucket), budget / 2 ** 20,
+                )
+                caches = [
+                    build_device_cache(tasks[i].video_path, budget)
+                    for i in bucket
+                ]
             del caches  # per-video frames already released by _search_bucket
             for i, r in zip(bucket, out):
                 results[i] = r

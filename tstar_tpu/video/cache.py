@@ -26,17 +26,27 @@ from tstar_tpu.video.decoder import open_video
 # detector weights + activations on a 16 GB chip).
 DEFAULT_HBM_BUDGET_BYTES = 6 * 1024 ** 3
 
-# Weights + activations + XLA workspace reserve used when deriving budgets
-# from the device's total HBM (OWL-ViT B/32 bf16 weights are ~0.4 GB; B-grid
-# detector/verification activations and collective scratch take the rest).
-HBM_RESERVE_BYTES = 4 * 1024 ** 3
+# Weights + fixed workspace reserve used when deriving budgets from the
+# device's total HBM (OWL-ViT B/32 bf16 weights are ~0.4 GB; verification
+# forwards, compiler scratch and fragmentation take the rest).
+HBM_RESERVE_BYTES = 3 * 1024 ** 3
+
+# Per-video transient workspace of a batched search step: the flat grid
+# forward's activations scale with the video batch (the dominant term is
+# XLA materializing f32 (B, 12, 577, 577) attention probabilities, ~16 MB
+# per video per live buffer).  A 24-video bucket at the r3 default budget
+# OOMed with a flat reserve — the workspace term must scale with B.
+HBM_PER_VIDEO_WORKSPACE_BYTES = 128 * 1024 ** 2
 
 
 def device_hbm_bytes(device: Optional[jax.Device] = None) -> int:
-    """Total device memory of the attached accelerator, 16 GB fallback.
+    """Usable device memory of the attached accelerator.
 
-    ``memory_stats`` is unavailable on CPU (and through some TPU
-    attachments); the fallback is the v5e figure.
+    ``memory_stats`` is unavailable on CPU and returns None through the
+    TPU attachment relay; the fallback is 14 GiB — the v5e's nominal 16 GB
+    minus the system/runtime reserve (empirically probed on this
+    attachment: ~14.5 GiB allocable in 1 GiB chunks, a 16 GiB assumption
+    OOMed a 24-video bucket that the budget math said should fit).
     """
     try:
         dev = device or jax.devices()[0]
@@ -46,13 +56,13 @@ def device_hbm_bytes(device: Optional[jax.Device] = None) -> int:
             return int(limit)
     except Exception:
         pass
-    return 16 * 1024 ** 3
+    return 14 * 1024 ** 3
 
 
 def per_video_hbm_budget(
     bucket_size: int,
     total_bytes: Optional[int] = None,
-    reserve_bytes: int = HBM_RESERVE_BYTES,
+    reserve_bytes: Optional[int] = None,
     concurrency: int = 2,
     cap: int = DEFAULT_HBM_BUDGET_BYTES,
 ) -> int:
@@ -66,8 +76,16 @@ def per_video_hbm_budget(
     long-video buckets to a resolution where the whole batch fits — the r2
     failure mode was B=24 x 1024 s videos OOMing a 16 GB chip at the default
     per-video budget (VERDICT r2 item 2).
+
+    ``reserve_bytes`` defaults to a fixed weights/scratch term PLUS a
+    per-video workspace term (step activations scale with the bucket size).
     """
     total = device_hbm_bytes() if total_bytes is None else total_bytes
+    if reserve_bytes is None:
+        reserve_bytes = (
+            HBM_RESERVE_BYTES
+            + bucket_size * HBM_PER_VIDEO_WORKSPACE_BYTES
+        )
     usable = max(total - reserve_bytes, total // 4)
     return int(min(cap, usable // max(1, bucket_size * concurrency)))
 
