@@ -112,6 +112,39 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    def make_batched(B, cfg_b, base_scorer, seed0):
+        """(batched scorer, stacked state) with ONE host->device cache upload.
+
+        Memory hygiene matters here: the chip is shared-tenancy, and building
+        B per-video device caches then jnp.stack-ing them doubles the peak
+        (B=16 -> 7.2 GB transient).  Instead the (B, n_pad, H, W, 3) cache is
+        assembled host-side and uploaded once; the prompt-derived tensors are
+        identical across videos (same texts) so the base scorer's are tiled.
+        """
+        c_np = rng.integers(
+            0, 256, size=(B, n_pad, *cfg_b.cache_hw, 3), dtype=np.uint8
+        )
+        c_np[:, n_valid:] = 0
+        bsc = OwlVitScorer(
+            cache=jnp.asarray(c_np),
+            variables=variables,
+            query_embeds=jnp.stack([base_scorer.query_embeds] * B),
+            query_mask=jnp.stack([base_scorer.query_mask] * B),
+            class_weights=jnp.stack([base_scorer.class_weights] * B),
+            model=model,
+            config=cfg_b,
+        )
+        stacked = jax.tree_util.tree_map(
+            lambda *xs: jnp.stack(xs),
+            *[init_state(n_valid, 1, cfg_b, jax.random.key(seed0 + i),
+                         n_pad=n_pad)
+              for i in range(B)],
+        )
+        return bsc, stacked
+
+    def is_oom(e) -> bool:
+        return "RESOURCE_EXHAUSTED" in repr(e) or "ResourceExhausted" in repr(e)
+
     extra = {}
 
     # ---- B=1: single-video engine, Pallas (auto) vs XLA preprocess ----
@@ -191,39 +224,27 @@ def main():
     # 16-frame verification batch mostly saturates the MXU)
     per_batch = {1: round(ours_b1, 2)}
     best_b, best_fps = 1, ours_b1
+    cfg_flat = dataclasses.replace(cfg, use_pallas_preprocess=False)
     for B in (4, 8):
-        states_b, scorers_b = [], []
-        for i in range(B):
-            c_np = rng.integers(0, 256, size=(n_pad, *cfg.cache_hw, 3), dtype=np.uint8)
-            c_np[n_valid:] = 0
-            scorers_b.append(
-                make_owlvit_scorer(
-                    model, variables, jnp.asarray(c_np),
-                    ["target"], ["cue one", "cue two"], tok, cfg,
+        batched_scorer = stacked = None
+        try:
+            batched_scorer, stacked = make_batched(B, cfg_flat, scorer_all, 100)
+
+            def runB(bsc=batched_scorer, st=stacked):
+                finals, secs = run_search_batched_chained(
+                    st, bsc, cfg, max_iterations=iters
                 )
-            )
-            states_b.append(
-                init_state(n_valid, 1, cfg, jax.random.key(100 + i), n_pad=n_pad)
-            )
-        batched_scorer = OwlVitScorer(
-            cache=jnp.stack([s.cache for s in scorers_b]),
-            variables=variables,
-            query_embeds=jnp.stack([s.query_embeds for s in scorers_b]),
-            query_mask=jnp.stack([s.query_mask for s in scorers_b]),
-            class_weights=jnp.stack([s.class_weights for s in scorers_b]),
-            model=model,
-            config=dataclasses.replace(cfg, use_pallas_preprocess=False),
-        )
-        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states_b)
+                np.asarray(secs)  # host fetch: the only reliable fence (run1)
 
-        def runB():
-            finals, secs = run_search_batched_chained(
-                stacked, batched_scorer, cfg, max_iterations=iters
-            )
-            np.asarray(secs)   # host fetch: the only reliable fence (see run1)
-
-        runB()  # compile
-        tB = time_best_of(runB)
+            runB()  # compile
+            tB = time_best_of(runB)
+        except Exception as e:  # shared-tenancy HBM pressure: record + go on
+            if not is_oom(e):
+                raise
+            per_batch[B] = None
+            continue
+        finally:
+            del batched_scorer, stacked
         fps = B * frames_scored / tB
         per_batch[B] = round(fps, 2)
         if fps > best_fps:
@@ -300,40 +321,25 @@ def main():
     # remaining bound is encoder memory traffic (attention probs + layernorm
     # reduces), trace-analyzed in PERFORMANCE.md.
     for B in (8, 16):
-        scorers_nv = [
-            make_owlvit_scorer(
-                model, variables,
-                jnp.asarray(rng.integers(0, 256, (n_pad, *cfg.cache_hw, 3),
-                                         dtype=np.uint8)),
-                ["target"], ["cue one", "cue two"], tok, cfg_nv,
-            )
-            for _ in range(B)
-        ]
-        bsc_nv = OwlVitScorer(
-            cache=jnp.stack([s.cache for s in scorers_nv]),
-            variables=variables,
-            query_embeds=jnp.stack([s.query_embeds for s in scorers_nv]),
-            query_mask=jnp.stack([s.query_mask for s in scorers_nv]),
-            class_weights=jnp.stack([s.class_weights for s in scorers_nv]),
-            model=model,
-            config=cfg_nv,
-        )
-        del scorers_nv  # drop per-video cache refs before the search
-        stacked_nv = jax.tree_util.tree_map(
-            lambda *xs: jnp.stack(xs),
-            *[init_state(n_valid, 1, cfg_nv, jax.random.key(200 + i),
-                         n_pad=n_pad)
-              for i in range(B)],
-        )
+        bsc_nv = stacked_nv = None
+        try:
+            bsc_nv, stacked_nv = make_batched(B, cfg_nv, scorer_nv, 200)
 
-        def run_nv_b(bsc=bsc_nv, stacked=stacked_nv):
-            finals, secs = run_search_batched_chained(
-                stacked, bsc, cfg_nv, max_iterations=iters
-            )
-            np.asarray(secs)
+            def run_nv_b(bsc=bsc_nv, stacked=stacked_nv):
+                finals, secs = run_search_batched_chained(
+                    stacked, bsc, cfg_nv, max_iterations=iters
+                )
+                np.asarray(secs)
 
-        run_nv_b()
-        t_nvb = time_best_of(run_nv_b)
+            run_nv_b()
+            t_nvb = time_best_of(run_nv_b)
+        except Exception as e:  # shared-tenancy HBM pressure: record + go on
+            if not is_oom(e):
+                raise
+            extra[f"b{B}_frames_per_sec_no_verify"] = None
+            continue
+        finally:
+            del bsc_nv, stacked_nv
         extra[f"b{B}_frames_per_sec_no_verify"] = round(
             B * frames_scored / t_nvb, 2
         )

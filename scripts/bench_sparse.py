@@ -78,40 +78,58 @@ def main():
             best = min(best, time.perf_counter() - t0)
         return best
 
+    base_scorer = mk_scorer()  # prompt tensors are identical across videos
+
     out = {}
     for B in [int(b) for b in args.batches.split(",")]:
+        bsc = stacked = None
         if B == 1:
-            scorer = mk_scorer()
             state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
 
             def run():
-                _, secs = run_search_chained(state, scorer, cfg)
+                _, secs = run_search_chained(state, base_scorer, cfg)
                 np.asarray(secs)  # host fetch: the only reliable fence
         else:
-            scorers = [mk_scorer() for _ in range(B)]
+            # ONE host-side (B, n_pad, H, W, 3) build + single upload: B
+            # per-video device caches + a device stack would transiently
+            # double the footprint (B=16 -> 7.2 GB) on a shared chip.
+            c_np = rng.integers(
+                0, 256, (B, n_pad, *cfg.cache_hw, 3), dtype=np.uint8
+            )
+            c_np[:, n_valid:] = 0
             bsc = OwlVitScorer(
-                cache=jnp.stack([s.cache for s in scorers]),
+                cache=jnp.asarray(c_np),
                 variables=variables,
-                query_embeds=jnp.stack([s.query_embeds for s in scorers]),
-                query_mask=jnp.stack([s.query_mask for s in scorers]),
-                class_weights=jnp.stack([s.class_weights for s in scorers]),
+                query_embeds=jnp.stack([base_scorer.query_embeds] * B),
+                query_mask=jnp.stack([base_scorer.query_mask] * B),
+                class_weights=jnp.stack([base_scorer.class_weights] * B),
                 model=model,
                 config=cfg,
             )
+            del c_np
             stacked = jax.tree_util.tree_map(
                 lambda *xs: jnp.stack(xs),
                 *[init_state(n_valid, 1, cfg, jax.random.key(200 + i), n_pad=n_pad)
                   for i in range(B)],
             )
 
-            def run():
+            def run(bsc=bsc, stacked=stacked):
                 _, secs = run_search_batched_chained(
                     stacked, bsc, cfg, max_iterations=iters
                 )
                 np.asarray(secs)
 
-        run()  # compile
-        t = time_best_of(run)
+        try:
+            run()  # compile
+            t = time_best_of(run)
+        except Exception as e:  # shared-tenancy HBM pressure
+            if "RESOURCE_EXHAUSTED" not in repr(e) and "ResourceExhausted" not in repr(e):
+                raise
+            out[f"b{B}_frames_per_sec_no_verify"] = None
+            print(f"B={B}: OOM-skipped", flush=True)
+            continue
+        finally:
+            del bsc, stacked
         out[f"b{B}_frames_per_sec_no_verify"] = round(B * frames_scored / t, 2)
         print(f"B={B}: {out[f'b{B}_frames_per_sec_no_verify']} f/s", flush=True)
 
