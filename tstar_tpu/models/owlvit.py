@@ -34,7 +34,12 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from tstar_tpu.models.transformer import Encoder, causal_bias, padding_bias
+from tstar_tpu.models.transformer import (
+    Encoder,
+    LayerNorm,
+    causal_bias,
+    padding_bias,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -144,7 +149,7 @@ class VisionTower(nn.Module):
         )
         x = x + pos.astype(self.dtype)[None]
 
-        x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype, name="pre_layernorm")(x)
+        x = LayerNorm(epsilon=c.eps, dtype=self.dtype, name="pre_layernorm")(x)
         x = Encoder(
             c.num_layers, c.num_heads, c.intermediate_size, c.activation, c.eps,
             dtype=self.dtype, name="encoder",
@@ -176,7 +181,7 @@ class TextTower(nn.Module):
             c.num_layers, c.num_heads, c.intermediate_size, c.activation, c.eps,
             dtype=self.dtype, name="encoder",
         )(x, bias)
-        x = nn.LayerNorm(epsilon=c.eps, dtype=self.dtype, name="final_layer_norm")(x)
+        x = LayerNorm(epsilon=c.eps, dtype=self.dtype, name="final_layer_norm")(x)
 
         # CLIP EOT pooling: the end-of-text token has the highest id.
         eot = jnp.argmax(input_ids, axis=-1)
@@ -256,10 +261,10 @@ class OwlViTDetector(nn.Module):
         self.text_projection = nn.Dense(
             c.projection_dim, use_bias=False, dtype=self.dtype, name="text_projection"
         )
-        self.post_layernorm = nn.LayerNorm(
+        self.post_layernorm = LayerNorm(
             epsilon=c.vision.eps, dtype=self.dtype, name="post_layernorm"
         )
-        self.merged_layernorm = nn.LayerNorm(
+        self.merged_layernorm = LayerNorm(
             epsilon=c.vision.eps, dtype=self.dtype, name="merged_layernorm"
         )
         self.box_head = BoxHead(dtype=self.dtype)

@@ -30,6 +30,44 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+class LayerNorm(nn.Module):
+    """nn.LayerNorm drop-in that routes to the Pallas fused kernel on TPU.
+
+    Param tree is identical to ``nn.LayerNorm`` (f32 ``scale``/``bias``), so
+    checkpoint converters and parity tests are unchanged.  On TPU the
+    normalize runs as ONE streaming pass (``kernels/layernorm.py``) instead
+    of XLA's ~10%-of-bandwidth cross-lane reduce fusion; elsewhere (and via
+    ``TSTAR_PALLAS_LN=0``) the math below bit-matches flax's
+    use_fast_variance path: f32 stats, params cast to the compute dtype,
+    ``y = (x - mean) * (rsqrt(var+eps) * scale) + bias``.
+    """
+
+    epsilon: float = 1e-5
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        d = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones_init(), (d,))
+        bias = self.param("bias", nn.initializers.zeros_init(), (d,))
+        x = x.astype(self.dtype)
+        from tstar_tpu.kernels.layernorm import (
+            fused_layernorm,
+            use_pallas_layernorm,
+        )
+
+        if use_pallas_layernorm(x):
+            return fused_layernorm(x, scale, bias, eps=self.epsilon)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+        mul = jax.lax.rsqrt(var + self.epsilon) * (
+            scale.astype(self.dtype).astype(jnp.float32)
+        )
+        y = (x32 - mean) * mul + bias.astype(self.dtype).astype(jnp.float32)
+        return y.astype(self.dtype)
+
+
 class _LinearParams(nn.Module):
     """Declares a Dense layer's (kernel, bias) without running it, so fused
     projections can keep the standard q_proj/k_proj/v_proj checkpoint tree."""
@@ -140,11 +178,11 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array] = None) -> jax.Array:
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        h = LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
         x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="self_attn")(
             h, attn_bias
         )
-        h = nn.LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        h = LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
         x = x + TransformerMLP(
             self.intermediate_size, self.activation, dtype=self.dtype, name="mlp"
         )(h)
