@@ -26,6 +26,8 @@ first real checkpoint load exercises no new code.
 import dataclasses
 import json
 import os
+import subprocess
+import sys
 
 import numpy as np
 import jax
@@ -36,11 +38,39 @@ torch = pytest.importorskip("torch")
 transformers = pytest.importorskip("transformers")
 pytest.importorskip("safetensors")
 
-# These tests allocate multi-GB weight sets; the file is named test_zz_* so
-# they run LAST (alphabetical collection) and cannot raise the heap
-# high-water mark under every later compile — a full-suite run with them
-# early segfaulted XLA's CPU compiler near the end of the suite (allocator
-# pressure).  The fixture below releases executables + arrays eagerly.
+# These tests allocate multi-GB weight sets and large XLA CPU executables.
+# Running them in the same interpreter as the rest of the suite is what
+# crashed full-suite runs: first (r3 early) with them collected FIRST
+# (renamed test_zz_* so they run last), then (r3 late) XLA's CPU compiler
+# still segfaulted DURING the final 2B-param test under the suite's
+# accumulated allocator pressure — with every test green up to that point.
+# So each test here re-invokes itself in a FRESH interpreter: the heavy
+# load+forward runs with a clean heap regardless of suite history, and the
+# parent just checks the child's exit status.
+
+
+_SUBPROC_ENV = "TSTAR_CKPT_READINESS_SUBPROC"
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _isolate(request) -> bool:
+    """True -> the caller should return (the body ran in a subprocess)."""
+    if os.environ.get(_SUBPROC_ENV) == "1":
+        return False  # we ARE the isolated child: run the body
+    nodeid = request.node.nodeid
+    proc = subprocess.run(
+        [sys.executable, "-m", "pytest", "-q", "-x", nodeid],
+        cwd=_REPO,
+        env={**os.environ, _SUBPROC_ENV: "1"},
+        capture_output=True,
+        text=True,
+        timeout=1800,
+    )
+    assert proc.returncode == 0, (
+        f"isolated run of {nodeid} failed (rc={proc.returncode}):\n"
+        f"{proc.stdout[-4000:]}\n{proc.stderr[-2000:]}"
+    )
+    return True
 
 
 @pytest.fixture(autouse=True)
@@ -70,8 +100,10 @@ def _write_clip_vocab(d):
 
 
 class TestOwlVitBasePatch32:
-    def test_full_size_load_and_forward(self, tmp_path):
+    def test_full_size_load_and_forward(self, tmp_path, request):
         """HF owlvit-base-patch32 directory -> loader -> 768^2 forward."""
+        if _isolate(request):
+            return
         from safetensors.torch import save_file
 
         from tstar_tpu.models.loader import load_owlvit_checkpoint
@@ -122,9 +154,11 @@ class TestOwlVitBasePatch32:
 
 
 class TestYoloWorldV2XL:
-    def test_full_size_pth_load_and_forward(self, tmp_path):
+    def test_full_size_pth_load_and_forward(self, tmp_path, request):
         """mmyolo v2-XL .pth (real tensor names/shapes) -> converter ->
         eval_shape validation -> 640^2 forward."""
+        if _isolate(request):
+            return
         from tests.test_yolo_loader import _build_replica
 
         from tstar_tpu.models.yolo_loader import load_yolo_world_checkpoint
@@ -175,10 +209,12 @@ class TestYoloWorldV2XL:
 
 
 class TestQwen2VL2B:
-    def test_full_size_sharded_load_and_forward(self, tmp_path):
+    def test_full_size_sharded_load_and_forward(self, tmp_path, request):
         """Qwen2-VL-2B-config sharded safetensors dir, RELEASED key layout
         (visual.* / model.*, tied embeddings) -> loader -> multimodal
         prefill forward."""
+        if _isolate(request):
+            return
         from safetensors.torch import save_file
 
         from tstar_tpu.models.loader import load_qwen2vl_checkpoint
