@@ -316,10 +316,11 @@ def main():
 
     # batched no-verify at B in {8, 16}: the B=1 grid forward leaves MXU
     # headroom, so THIS is where batching pays (the realistic sparse
-    # regime).  B=16 also records the former 9.8k plateau (r2) — broken in
-    # r3 by the bf16-early-normalize preprocess + block-CR smoother; the
-    # remaining bound is encoder memory traffic (attention probs + layernorm
-    # reduces), trace-analyzed in PERFORMANCE.md.
+    # regime).  B=16 records the regime's history: the r2 9.8k plateau was
+    # broken in r3 first by bf16-early-normalize + block-CR smoother
+    # (~10.3k) and then by the layout-native fused Pallas MHA
+    # (kernels/attention.py, auto-gated at batch >= 8: ~14k in the
+    # interleaved A/B); trace analysis in PERFORMANCE.md.
     for B in (8, 16):
         bsc_nv = stacked_nv = None
         try:

@@ -1,0 +1,70 @@
+"""Parity tests for the single-block fused MHA kernel.
+
+``kernels/attention.py fused_mha_from_qkv`` routes encoder self-attention
+(reference runs stock HF attention, ``TStar/interface_heuristic.py:200``)
+through a layout-native Pallas kernel on TPU.  These tests pin its math to
+``jax.nn.dot_product_attention`` in interpreter mode so the hermetic CPU
+suite covers the kernel the TPU path runs.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tstar_tpu.kernels.attention import fused_mha_from_qkv, use_fused_mha
+
+
+def _reference(qkv: jax.Array, num_heads: int) -> jax.Array:
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    split = lambda t: t.reshape(b, s, num_heads, d // num_heads)
+    out = jax.nn.dot_product_attention(split(q), split(k), split(v))
+    return out.reshape(b, s, d)
+
+
+@pytest.mark.parametrize(
+    "b,s,heads,dh",
+    [(1, 64, 2, 64), (2, 96, 4, 64), (1, 577, 2, 64)],
+)
+def test_fused_mha_matches_dpa_f32(b, s, heads, dh):
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(size=(b, s, 3 * heads * dh)), jnp.float32)
+    got = fused_mha_from_qkv(qkv, heads, interpret=True)
+    want = _reference(qkv, heads)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_mha_matches_dpa_bf16():
+    # bf16 inputs: the kernel casts probs to bf16 for the AV matmul (same
+    # approximation class as the bf16 tower); tolerance is bf16-level.
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(size=(2, 80, 3 * 4 * 64)), jnp.bfloat16)
+    got = fused_mha_from_qkv(qkv, 4, interpret=True).astype(jnp.float32)
+    want = _reference(qkv.astype(jnp.float32), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
+def test_gate_requires_tpu_and_no_bias():
+    qkv = jnp.zeros((1, 577, 3 * 768), jnp.bfloat16)
+    # CPU backend (the hermetic suite) must never route to the kernel.
+    assert not use_fused_mha(qkv, 12, None)
+    assert not use_fused_mha(qkv, 12, jnp.zeros((1, 1, 577, 577)))
+    # Tiny text-tower sequences stay on XLA's fusion regardless of backend.
+    assert not use_fused_mha(jnp.zeros((1, 16, 3 * 768), jnp.bfloat16), 12, None)
+
+
+def test_mesh_disable_context(monkeypatch):
+    # GSPMD cannot partition a pallas_call: mesh-sharded traces enter
+    # fused_mha_disabled() and the gate must honor it even when every
+    # other condition (forced via env) passes.
+    from tstar_tpu.kernels.attention import fused_mha_disabled
+
+    monkeypatch.setenv("TSTAR_FUSED_MHA", "force")
+    qkv = jnp.zeros((16, 577, 3 * 768), jnp.bfloat16)
+    on_tpu = jax.default_backend() == "tpu"
+    assert use_fused_mha(qkv, 12, None) == on_tpu
+    with fused_mha_disabled():
+        assert not use_fused_mha(qkv, 12, None)
+    assert use_fused_mha(qkv, 12, None) == on_tpu

@@ -126,3 +126,42 @@ class TestBucketedVerification:
                 atol=1e-6,
             )
             assert int(finals["full"][0].iteration) == int(finals[name][0].iteration)
+
+
+class TestComposedGridProjection:
+    """The composed cache->embedding grid path (opt-in,
+    TSTAR_COMPOSED_PATCH=1 — measured e2e negative as a default, see
+    detector_scorer._grid_projection) must agree with the explicit pixel
+    chain it replaces."""
+
+    def test_composed_matches_pixel_path(self, scorer_and_state, monkeypatch):
+        scorer, state, n_valid = scorer_and_state
+        assert scorer.grid_proj_w is None       # default is the pixel chain
+        monkeypatch.setenv("TSTAR_COMPOSED_PATCH", "1")
+        from tstar_tpu.search.detector_scorer import _grid_projection
+
+        w, b, src = _grid_projection(
+            scorer.model, scorer.variables, scorer.cache.shape[1:3],
+            scorer.config,
+        )
+        assert w is not None                    # fixture geometry is aligned
+        composed = scorer.replace(
+            grid_proj_w=w, grid_proj_b=b, grid_src_patch=src
+        )
+        secs = jnp.asarray(np.arange(16) * 7 % n_valid)
+        conf_c, pres_c = composed.score_grid(secs)
+        conf_p, pres_p = scorer.score_grid(secs)
+        np.testing.assert_allclose(
+            np.asarray(conf_c), np.asarray(conf_p), atol=5e-3, rtol=1e-3
+        )
+        np.testing.assert_array_equal(np.asarray(pres_c), np.asarray(pres_p))
+
+    def test_default_off(self, scorer_and_state):
+        scorer, _, _ = scorer_and_state
+        from tstar_tpu.search.detector_scorer import _grid_projection
+
+        w, b, src = _grid_projection(
+            scorer.model, scorer.variables, scorer.cache.shape[1:3],
+            scorer.config,
+        )
+        assert w is None and b is None and src is None

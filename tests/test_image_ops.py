@@ -88,3 +88,52 @@ class TestBuildDetectorGrid:
             pix = out[0, r * 16 + 8, c * 16 + 8]
             intensity = (pix * CLIP_STD + CLIP_MEAN) * 255.0
             np.testing.assert_allclose(intensity, s * 7 % 251, atol=1.0)
+
+
+class TestComposedPatchProjection:
+    """The composed cache->patch-embedding projection must equal the pixel
+    chain PatchEmbed(build_detector_grid(...)) up to float reassociation
+    (kernels/image.py composed_patch_projection / grid_patch_embeddings)."""
+
+    def test_alignment_gate(self):
+        from tstar_tpu.kernels.image import composed_patch_projection
+
+        k = np.random.default_rng(0).normal(size=(32, 32, 3, 8)).astype(np.float32)
+        got = composed_patch_projection(k, (192, 384), (192, 192), 32)
+        assert got is not None
+        assert got[2] == (32, 64)
+        # fractional source blocks (190 rows -> 192) are not block-aligned
+        assert composed_patch_projection(k, (190, 384), (192, 192), 32) is None
+        # cell not a multiple of the patch size
+        assert composed_patch_projection(k, (192, 384), (100, 192), 32) is None
+
+    def test_matches_pixel_chain(self):
+        from tstar_tpu.kernels.image import (
+            composed_patch_projection,
+            grid_patch_embeddings,
+        )
+
+        rng = np.random.default_rng(1)
+        d = 8
+        kernel = rng.normal(size=(32, 32, 3, d)).astype(np.float32) * 0.05
+        cache = rng.integers(0, 256, (20, 192, 384, 3)).astype(np.uint8)
+        secs = jnp.asarray(rng.integers(0, 20, (16,)))
+
+        w, b, src = composed_patch_projection(kernel, (192, 384), (192, 192), 32)
+        got = grid_patch_embeddings(
+            jnp.asarray(cache), secs, jnp.asarray(w), jnp.asarray(b),
+            (4, 4), src, dtype=jnp.float32,
+        )
+
+        # pixel chain: grid image -> patchify -> patch matmul
+        from tstar_tpu.models.owlvit import patchify
+
+        pixels = build_detector_grid(
+            jnp.asarray(cache), secs, (4, 4), 768, dtype=jnp.float32
+        )
+        patches = patchify(pixels, 32)
+        want = jnp.einsum("bpk,kd->bpd", patches, kernel.reshape(-1, d))
+
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-4
+        )

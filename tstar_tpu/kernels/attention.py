@@ -1,8 +1,14 @@
-"""TPU flash attention for the encoder towers (Pallas, stock kernel).
+"""TPU attention kernels for the encoder towers.
 
-MEASURED NEGATIVE — kept as an opt-in (TSTAR_FLASH_ATTENTION=1), not the
-default.  The full story, because the microbenchmarks lie in both
-directions at these shapes (v5e, S=577, 12 heads x 64):
+Two kernels live here:
+
+1. ``fused_mha_from_qkv`` — the r3 single-block, layout-native Pallas MHA
+   that IS the production path for large image batches (gate:
+   ``use_fused_mha``; design + measured crossover at its definition below).
+2. ``flash_mha`` — the stock Pallas flash kernel, a MEASURED NEGATIVE kept
+   as an opt-in (TSTAR_FLASH_ATTENTION=1).  The full story, because the
+   microbenchmarks lie in both directions at these shapes
+   (v5e, S=577, 12 heads x 64):
 
   * r2: stock blocks, isolated → flash 2x slower than XLA.  Correct sign,
     wrong magnitude.
@@ -28,14 +34,165 @@ env var + TPU backend + no additive bias.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+import functools
 import os
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+# GSPMD cannot auto-partition a pallas_call ("Mosaic kernels cannot be
+# automatically partitioned"), so mesh-sharded executions must trace with
+# the fused kernel off.  parallel/multi_video.search_videos enters this
+# context around its mesh branch; direct callers of the batched loop under
+# a NamedSharding mesh on real multi-chip hardware must do the same (a
+# custom_partitioning wrapper — the grid is embarrassingly parallel over
+# (batch, heads) — is the eventual fix).
+_FUSED_MHA_DISABLED = contextvars.ContextVar("fused_mha_disabled", default=False)
+
+
+@contextlib.contextmanager
+def fused_mha_disabled():
+    """Trace-time disable of the fused Pallas MHA (mesh-sharded paths)."""
+    token = _FUSED_MHA_DISABLED.set(True)
+    try:
+        yield
+    finally:
+        _FUSED_MHA_DISABLED.reset(token)
 
 
 def _pad_to(n: int, multiple: int) -> int:
     return max(multiple, ((n + multiple - 1) // multiple) * multiple)
+
+
+# ---------------------------------------------------------------------------
+# Single-block fused MHA (r3): a layout-native Pallas kernel for the encoder
+# shapes (S=577, 12 heads x 64, bf16).
+#
+# Why another attempt after the stock-flash negative above: the r3 B=16
+# device trace shows XLA's fused attention near the bandwidth bound of its
+# MATERIALIZED f32 (B, H, S, S) probabilities (~255 MB/layer at B=16) plus
+# ~4.6 ms of K-layout copies — ~10 ms of a ~25 ms sparse step.  The stock
+# kernel lost to (a) (B,S,H,D)->(B,H,S,D) transposes outside the kernel,
+# (b) 128-row q streaming with flash running-max rescaling that these tiny
+# sequences don't need, and (c) lost fusion with the projection epilogues.
+# This kernel removes all three:
+#
+#   * it consumes the FUSED QKV PROJECTION OUTPUT (B, S, 3D) directly —
+#     the grid is (B, H) and each program DMAs its head's 64-lane slices
+#     (columns [h*64:...], [D + h*64:...], [2D + h*64:...]) straight out of
+#     the projection layout; no transpose, no split, no pad anywhere;
+#   * S=577 fits VMEM whole, so the softmax is ONE exact pass (max-sub,
+#     exp, normalize) over a VMEM-resident (S, S) f32 logits tile — the
+#     probabilities never touch HBM (the entire win);
+#   * the output block writes straight into the (B, S, D) layout the
+#     out_proj matmul consumes.
+#
+# Numerics: bf16 QK matmul with f32 accumulation, f32 softmax (matching
+# jax.nn.dot_product_attention), probs cast to bf16 for the AV matmul (the
+# same approximation class as the rest of the bf16 tower; parity pinned in
+# tests/test_attention_kernel.py, e2e tolerance in the detector tests).
+# ---------------------------------------------------------------------------
+
+
+def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int, hpb: int):
+    # hpb heads share a 128-lane block (Mosaic requires lane-dim blocks in
+    # multiples of 128; Dh=64 -> 2 heads per program, statically sliced).
+    for i in range(hpb):
+        q = q_ref[0][:, i * dh:(i + 1) * dh]            # (S, Dh) bf16
+        k = k_ref[0][:, i * dh:(i + 1) * dh]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                       # (S, S) f32
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        s = jnp.sum(p, axis=-1, keepdims=True)
+        probs = (p / s).astype(q.dtype)
+        o_ref[0, :, i * dh:(i + 1) * dh] = jax.lax.dot_general(
+            probs, v_ref[0][:, i * dh:(i + 1) * dh], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_mha_from_qkv(
+    qkv: jax.Array, num_heads: int, *, interpret: bool = False
+) -> jax.Array:
+    """Self-attention straight from the fused projection output.
+
+    ``qkv``: (B, S, 3*D) — columns [0:D) = q, [D:2D) = k, [2D:3D) = v, each
+    laid out head-major (head h at columns [h*Dh:(h+1)*Dh)), exactly the
+    layout produced by concatenating the q/k/v projection weights.  Returns
+    the attention output (B, S, D), ready for ``out_proj``.
+    """
+    b, s, three_d = qkv.shape
+    d = three_d // 3
+    dh = d // num_heads
+    scale = 1.0 / (dh ** 0.5)
+    hpb = max(1, 128 // dh)                 # heads per 128-lane block
+    assert num_heads % hpb == 0 and (dh * hpb) % 128 == 0, (num_heads, dh)
+    blocks = num_heads // hpb
+    head_block = lambda base: pl.BlockSpec(
+        (1, s, dh * hpb), lambda bi, hi, base=base: (bi, 0, base + hi)
+    )
+    return pl.pallas_call(
+        functools.partial(_mha_kernel, scale=scale, dh=dh, hpb=hpb),
+        grid=(b, blocks),
+        in_specs=[
+            head_block(0),              # q block: columns [hi*128 : ...)
+            head_block(blocks),         # k block: columns [D + hi*128 : ...)
+            head_block(2 * blocks),     # v block: columns [2D + hi*128 : ...)
+        ],
+        out_specs=pl.BlockSpec((1, s, dh * hpb), lambda bi, hi: (bi, 0, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+
+
+# Measured e2e crossover (r3, scripts/ab_attention.py, interleaved
+# in-process A/B, 577-token encoder).  WIN at large image batches, where
+# XLA's materialized f32 probs traffic dominates: B=16 sparse search
+# 14,013 vs 10,299 f/s (+36%, consistent across every interleaved rep).
+# LOSS in the small-batch saturated regimes, where XLA overlaps the probs
+# traffic behind the surrounding matmuls and a separate kernel only
+# serializes: worst-case B=1 883 vs 910, B=4 951 vs 990 (-4%); B=1 sparse
+# neutral-in-noise (6,633 vs 6,587).  Same lesson as the fused-LayerNorm
+# and stock-flash results: beating XLA's fusions pays where its lowering
+# is bandwidth-bound, not where its scheduler already overlaps the cost.
+_MIN_FUSED_BATCH = 8
+
+
+def use_fused_mha(qkv: jax.Array, num_heads: int, attn_bias) -> bool:
+    """Gate for routing encoder self-attention through ``fused_mha_from_qkv``.
+
+    Auto-gates on the measured crossover above: TPU, no additive bias,
+    S in [256, 2048] (the (S, S) f32 logits tile must fit VMEM), head
+    blocks must tile to 128 lanes, and the image batch must be large
+    enough that XLA's probs traffic binds.  ``TSTAR_FUSED_MHA``: "0"
+    disables, "force" bypasses the batch gate (A/B harness).
+    """
+    env = os.environ.get("TSTAR_FUSED_MHA", "1")
+    if env == "0":
+        return False
+    if _FUSED_MHA_DISABLED.get():
+        return False                    # mesh-sharded trace (see above)
+    if attn_bias is not None:
+        return False
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+    except Exception:  # noqa: BLE001 — backend not initialized yet
+        return False
+    b, s, three_d = qkv.shape
+    dh = three_d // 3 // num_heads
+    if dh % 128 and (128 % dh or num_heads % (128 // max(dh, 1))):
+        return False                    # cannot form 128-lane head blocks
+    if not (256 <= s <= 2048):
+        return False
+    return env == "force" or b >= _MIN_FUSED_BATCH
 
 
 def use_flash_attention(q: jax.Array, attn_bias) -> bool:

@@ -127,34 +127,43 @@ class VisionTower(nn.Module):
     cfg: VisionConfig
     dtype: jnp.dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, pixels: jax.Array) -> jax.Array:
-        """pixels (B, H, W, 3) normalized -> last hidden states (B, 1+P, D)."""
+    def setup(self):
         c = self.cfg
-        patches = PatchEmbed(
-            c.hidden_size, c.patch_size, dtype=self.dtype, name="patch_embedding"
-        )(pixels)
-        b = patches.shape[0]
-
-        cls = self.param(
+        self.patch_embedding = PatchEmbed(
+            c.hidden_size, c.patch_size, dtype=self.dtype
+        )
+        self.class_embedding = self.param(
             "class_embedding", nn.initializers.normal(0.02), (c.hidden_size,)
-        ).astype(self.dtype)
-        cls = jnp.broadcast_to(cls, (b, 1, c.hidden_size))
-        x = jnp.concatenate([cls, patches], axis=1)
-
-        pos = self.param(
+        )
+        self.position_embedding = self.param(
             "position_embedding",
             nn.initializers.normal(0.02),
             (1 + c.num_patches, c.hidden_size),
         )
-        x = x + pos.astype(self.dtype)[None]
+        self.pre_layernorm = LayerNorm(epsilon=c.eps, dtype=self.dtype)
+        self.encoder = Encoder(
+            c.num_layers, c.num_heads, c.intermediate_size, c.activation,
+            c.eps, dtype=self.dtype,
+        )
 
-        x = LayerNorm(epsilon=c.eps, dtype=self.dtype, name="pre_layernorm")(x)
-        x = Encoder(
-            c.num_layers, c.num_heads, c.intermediate_size, c.activation, c.eps,
-            dtype=self.dtype, name="encoder",
-        )(x)
-        return x
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        """pixels (B, H, W, 3) normalized -> last hidden states (B, 1+P, D)."""
+        return self.from_patches(self.patch_embedding(pixels))
+
+    def from_patches(self, patches: jax.Array) -> jax.Array:
+        """(B, P, D) patch embeddings -> last hidden states (B, 1+P, D).
+
+        Split out so the composed cache->embedding projection
+        (``kernels/image.grid_patch_embeddings``) can feed the tower without
+        materializing detector pixels."""
+        c = self.cfg
+        b = patches.shape[0]
+        cls = self.class_embedding.astype(self.dtype)
+        cls = jnp.broadcast_to(cls, (b, 1, c.hidden_size))
+        x = jnp.concatenate([cls, patches.astype(self.dtype)], axis=1)
+        x = x + self.position_embedding.astype(self.dtype)[None]
+        x = self.pre_layernorm(x)
+        return self.encoder(x)
 
 
 class TextTower(nn.Module):
@@ -284,7 +293,17 @@ class OwlViTDetector(nn.Module):
 
     def encode_image(self, pixels: jax.Array) -> jax.Array:
         """(B, H, W, 3) -> merged per-patch features (B, P, D)."""
-        hidden = self.vision(pixels)
+        return self._merge(self.vision(pixels))
+
+    def encode_patches(self, patch_embeds: jax.Array) -> jax.Array:
+        """(B, P, D) precomputed patch embeddings -> merged features (B, P, D).
+
+        Same as ``encode_image`` minus the patch-embedding matmul: the
+        detector-scorer's composed cache->embedding path
+        (``kernels/image.grid_patch_embeddings``) enters here."""
+        return self._merge(self.vision.from_patches(patch_embeds))
+
+    def _merge(self, hidden: jax.Array) -> jax.Array:
         hidden = self.post_layernorm(hidden)
         cls_token = hidden[:, :1, :]
         feats = hidden[:, 1:, :] * cls_token

@@ -106,14 +106,18 @@ def _layernorm(x: jax.Array, ln: Dict[str, jnp.ndarray], eps: float) -> jax.Arra
 
 def encode_image_int8(
     qparams: Dict[str, Any],
-    pixels: jax.Array,          # (B, S, S, 3) CLIP-normalized
+    pixels: jax.Array,          # (B, S, S, 3) CLIP-normalized (or None)
     cfg: OwlViTConfig,
     dtype=jnp.bfloat16,
+    patch_embeds: jax.Array = None,   # (B, P, D) precomputed (composed path)
 ) -> jax.Array:
     """Quantized counterpart of ``OwlViTDetector.encode_image``.
 
     (B, S, S, 3) pixels -> merged per-patch features (B, P, D) ready for
-    ``OwlViTDetector.predict``.
+    ``OwlViTDetector.predict``.  When ``patch_embeds`` is given (the
+    composed cache->embedding projection, kernels/image.py), ``pixels`` is
+    ignored and the tower starts after the patch matmul — the patch
+    embedding stays bf16 under int8 by design, so both entries share it.
     """
     c = cfg.vision
     eps = c.eps
@@ -121,9 +125,12 @@ def encode_image_int8(
 
     from tstar_tpu.models.owlvit import patchify
 
-    x_p = patchify(pixels.astype(dtype), ps)
-    w_p = qparams["patch_kernel"].astype(dtype).reshape(-1, c.hidden_size)
-    patches = jnp.einsum("bpk,kd->bpd", x_p, w_p)
+    if patch_embeds is not None:
+        patches = patch_embeds.astype(dtype)
+    else:
+        x_p = patchify(pixels.astype(dtype), ps)
+        w_p = qparams["patch_kernel"].astype(dtype).reshape(-1, c.hidden_size)
+        patches = jnp.einsum("bpk,kd->bpd", x_p, w_p)
     b = patches.shape[0]
     cls = jnp.broadcast_to(
         qparams["cls"].astype(dtype), (b, 1, c.hidden_size)
@@ -140,15 +147,25 @@ def encode_image_int8(
         qkv = dense_w8a8(
             h, lyr["qkv"]["w"], lyr["qkv"]["s"], lyr["qkv"]["b"], out_dtype=dtype
         )
-        q, k, v = jnp.split(qkv, 3, axis=-1)
-        split = lambda t: t.reshape(b, seq, c.num_heads, head_dim)
-        from tstar_tpu.kernels.attention import flash_mha, use_flash_attention
+        from tstar_tpu.kernels.attention import (
+            flash_mha,
+            fused_mha_from_qkv,
+            use_flash_attention,
+            use_fused_mha,
+        )
 
-        if use_flash_attention(split(q), None):
-            attn = flash_mha(split(q), split(k), split(v))
+        if use_fused_mha(qkv, c.num_heads, None):
+            attn = fused_mha_from_qkv(qkv, c.num_heads)
         else:
-            attn = jax.nn.dot_product_attention(split(q), split(k), split(v))
-        attn = attn.reshape(b, seq, c.hidden_size)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+            split = lambda t: t.reshape(b, seq, c.num_heads, head_dim)
+            if use_flash_attention(split(q), None):
+                attn = flash_mha(split(q), split(k), split(v))
+            else:
+                attn = jax.nn.dot_product_attention(
+                    split(q), split(k), split(v)
+                )
+            attn = attn.reshape(b, seq, c.hidden_size)
         x = x + dense_w8a8(
             attn, lyr["o"]["w"], lyr["o"]["s"], lyr["o"]["b"], out_dtype=dtype
         )

@@ -3,10 +3,15 @@
 TPU notes: attention and MLP matmuls are expressed as single large einsums so
 XLA tiles them onto the MXU; compute dtype is configurable (bfloat16 on TPU,
 float32 for parity tests) while parameters stay float32.  Sequence lengths in
-this framework are small and static (577 vision tokens, 16 text tokens) and
-XLA's fused attention is the measured end-to-end winner at every batch size —
-the Pallas flash kernel is an opt-in measured NEGATIVE here
-(TSTAR_FLASH_ATTENTION=1; numbers in kernels/attention.py).
+this framework are small and static (577 vision tokens, 16 text tokens).
+Attention routing (measured r3, numbers in kernels/attention.py): large
+image batches go through the layout-native single-block Pallas MHA
+(``fused_mha_from_qkv`` — XLA's fused attention is bandwidth-bound on its
+materialized f32 probs there, +36% e2e at B=16), small batches stay on
+XLA's fused attention (its scheduler overlaps the probs traffic; a separate
+kernel measured ~4% slower in the verification-heavy worst case).  The
+stock Pallas flash kernel remains an opt-in measured NEGATIVE
+(TSTAR_FLASH_ATTENTION=1).
 """
 
 from __future__ import annotations
@@ -124,6 +129,21 @@ class MultiHeadAttention(nn.Module):
         w = jnp.concatenate([k for k, _ in params], axis=1).astype(self.dtype)
         bias3 = jnp.concatenate([b for _, b in params]).astype(self.dtype)
         qkv = jnp.einsum("...sd,de->...se", x, w) + bias3
+
+        from tstar_tpu.kernels.attention import (
+            fused_mha_from_qkv,
+            use_fused_mha,
+        )
+
+        if qkv.ndim == 3 and use_fused_mha(qkv, self.num_heads, attn_bias):
+            # Layout-native single-block Pallas MHA: consumes the fused
+            # projection output directly (no split/transpose), keeps the
+            # (S, S) probabilities in VMEM (measured r3: XLA's fused
+            # attention is bandwidth-bound on its materialized f32 probs
+            # at these shapes — numbers in kernels/attention.py).
+            out = fused_mha_from_qkv(qkv, self.num_heads)
+            return dense("out_proj")(out)
+
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def split(t):

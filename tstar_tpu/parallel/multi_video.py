@@ -18,6 +18,7 @@ Two throughput measures over the serial reference loop:
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import gc
 import logging
@@ -146,16 +147,23 @@ def _search_bucket(
 
     max_iters = max(config.iteration_cap(nv) for nv in n_valids)
     history = None
-    if collect_history:
-        from tstar_tpu.parallel.batched import run_search_batched_with_history
+    # Mesh-sharded traces must not route attention through the Pallas
+    # fused-MHA kernel (GSPMD cannot partition a pallas_call); single-chip
+    # runs keep the kernel (kernels/attention.py fused_mha_disabled).
+    from tstar_tpu.kernels.attention import fused_mha_disabled
 
-        finals, secs, history = run_search_batched_with_history(
-            stacked, batched_scorer, batched_config, max_iterations=max_iters
-        )
-    else:
-        finals, secs = run_search_batched_chained(
-            stacked, batched_scorer, batched_config, max_iterations=max_iters
-        )
+    guard = fused_mha_disabled() if mesh is not None else contextlib.nullcontext()
+    with guard:
+        if collect_history:
+            from tstar_tpu.parallel.batched import run_search_batched_with_history
+
+            finals, secs, history = run_search_batched_with_history(
+                stacked, batched_scorer, batched_config, max_iterations=max_iters
+            )
+        else:
+            finals, secs = run_search_batched_chained(
+                stacked, batched_scorer, batched_config, max_iterations=max_iters
+            )
     secs = np.asarray(secs)
     remaining = np.asarray(finals.remaining)
     iterations = np.asarray(finals.iteration)

@@ -73,6 +73,16 @@ class OwlVitScorer:
     verify_model: Optional[OwlViTDetector] = struct.field(
         pytree_node=False, default=None
     )
+    # Composed cache->patch-embedding projection (kernels/image.py
+    # composed_patch_projection): replaces the resize+normalize+pack+
+    # patchify pixel chain of every grid forward with one matmul from the
+    # uint8 cache.  OPT-IN via TSTAR_COMPOSED_PATCH=1 — measured e2e
+    # negative at the default geometry (see _grid_projection).
+    grid_proj_w: Optional[jax.Array] = None          # (s_h*s_w*3, D)
+    grid_proj_b: Optional[jax.Array] = None          # (D,)
+    grid_src_patch: Optional[Tuple[int, int]] = struct.field(
+        pytree_node=False, default=None
+    )
 
     @property
     def num_classes(self) -> int:
@@ -112,23 +122,66 @@ class OwlVitScorer:
         size = model.cfg.vision.image_size
         return postprocess_detections(logits, boxes, (size, size))
 
+    def _detect_embeds(
+        self, patch_embeds: jax.Array, query_embeds=None, query_mask=None
+    ) -> Tuple[jax.Array, jax.Array, jax.Array]:
+        """_detect entered AFTER the patch-embedding matmul (the composed
+        cache->embedding projection, kernels/image.grid_patch_embeddings)."""
+        query_embeds = (
+            query_embeds if query_embeds is not None else self.query_embeds
+        )
+        query_mask = query_mask if query_mask is not None else self.query_mask
+        if self.qvision is not None:
+            from tstar_tpu.models.owlvit_quant import encode_image_int8
+
+            feats = encode_image_int8(
+                self.qvision, None, self.model.cfg, dtype=self.model.dtype,
+                patch_embeds=patch_embeds,
+            )
+        else:
+            feats = self.model.apply(
+                self.variables, patch_embeds,
+                method=OwlViTDetector.encode_patches,
+            )
+        logits, boxes = self.model.apply(
+            self.variables, feats, query_embeds, query_mask,
+            method=OwlViTDetector.predict,
+        )
+        size = self.model.cfg.vision.image_size
+        return postprocess_detections(logits, boxes, (size, size))
+
+    def _grid_embeds(self, cache: jax.Array, secs: jax.Array) -> jax.Array:
+        from tstar_tpu.kernels.image import grid_patch_embeddings
+
+        cfg = self.config
+        return grid_patch_embeddings(
+            cache, secs, self.grid_proj_w, self.grid_proj_b,
+            (cfg.grid_rows, cfg.grid_cols), self.grid_src_patch,
+            dtype=self.model.dtype,
+        )
+
     def _score_grid_full(
         self, secs: jax.Array
     ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
-        if cfg.use_pallas_preprocess:
+        if self.grid_proj_w is not None and not cfg.use_pallas_preprocess:
+            scores, class_ids, boxes = self._detect_embeds(
+                self._grid_embeds(self.cache, secs)
+            )
+        elif cfg.use_pallas_preprocess:
             from tstar_tpu.kernels.pallas_grid import build_detector_grid_pallas
 
             pixels = build_detector_grid_pallas(
                 self.cache, secs, grid_shape, size, dtype=self.model.dtype
             )
+            scores, class_ids, boxes = self._detect(pixels)
         else:
             pixels = build_detector_grid(
                 self.cache, secs, grid_shape, size, dtype=self.model.dtype
             )
-        scores, class_ids, boxes = self._detect(pixels)
+            scores, class_ids, boxes = self._detect(pixels)
         keep = scores[0] > cfg.detector_threshold
         conf_map, presence = splat_detections_to_cells(
             boxes[0], scores[0], class_ids[0], keep, self.class_weights,
@@ -201,12 +254,18 @@ class OwlVitScorer:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
-        pixels = jax.vmap(
-            lambda cache, s: build_detector_grid(
-                cache, s, grid_shape, size, dtype=self.model.dtype
-            )[0]
-        )(self.cache, secs)                                   # (B, S, S, 3)
-        scores, class_ids, boxes = self._detect(pixels)      # queries (B,Q,D)
+        if self.grid_proj_w is not None and not cfg.use_pallas_preprocess:
+            embeds = jax.vmap(
+                lambda cache, s: self._grid_embeds(cache, s)[0]
+            )(self.cache, secs)                               # (B, P, D)
+            scores, class_ids, boxes = self._detect_embeds(embeds)
+        else:
+            pixels = jax.vmap(
+                lambda cache, s: build_detector_grid(
+                    cache, s, grid_shape, size, dtype=self.model.dtype
+                )[0]
+            )(self.cache, secs)                               # (B, S, S, 3)
+            scores, class_ids, boxes = self._detect(pixels)  # queries (B,Q,D)
         keep = scores > cfg.detector_threshold
 
         def one(b, s, c, k, w):
@@ -405,8 +464,63 @@ _WEIGHT_VIEW_CACHE: dict = {}
 
 def clear_weight_view_cache() -> None:
     """Release every cached derived weight view (int8 towers, reduced-
-    resolution verify views) and the model/variables references they pin."""
+    resolution verify views, composed grid projections) and the
+    model/variables references they pin."""
     _WEIGHT_VIEW_CACHE.clear()
+    _GRID_PROJ_CACHE.clear()
+
+
+# Composed cache->patch-embedding projections (kernels/image.py), memoized
+# like _WEIGHT_VIEW_CACHE: the host-side weight composition is ~10^8 numpy
+# FLOPs + an ~19 MB device upload, and the batched runner rebuilds scorers
+# per video with the same weights/geometry.
+_GRID_PROJ_CACHE: dict = {}
+
+
+def _grid_projection(model: OwlViTDetector, variables: Any, cache_hw, config):
+    """-> (proj_w, proj_b, src_patch_hw) on device, or (None, None, None).
+
+    OPT-IN (TSTAR_COMPOSED_PATCH=1) — a MEASURED e2e NEGATIVE as a default
+    (r3, scripts/ab_composed.py, interleaved in-process): B=16 sparse
+    13,087 vs 14,107 f/s pixel chain (-7%), B=1 sparse inside tenancy
+    noise.  The folded matmul removes the resize/normalize/pack pixel
+    churn (~1.7 ms/step in the B=16 trace) but its gathered
+    (K, P, s_h*s_w*3) patch operand defeats the XLA fusion that feeds the
+    patch-embedding MXU matmul straight from the uint8 cache gather —
+    same lesson as the Pallas preprocess kernel (kernels/pallas_grid.py).
+    Kept because the algebra (kernels/image.composed_patch_projection) is
+    parity-pinned and wins may exist at other cache/cell geometries.
+    """
+    import os
+
+    if os.environ.get("TSTAR_COMPOSED_PATCH", "0") != "1":
+        return None, None, None
+    if config.use_pallas_preprocess:
+        return None, None, None
+    c = model.cfg.vision
+    if c.image_size % config.grid_rows or c.image_size % config.grid_cols:
+        return None, None, None
+    cell_hw = (c.image_size // config.grid_rows, c.image_size // config.grid_cols)
+    key = (id(variables), id(model), tuple(cache_hw), cell_hw)
+    hit = _GRID_PROJ_CACHE.get(key)
+    if hit is not None and hit[0] is variables and hit[1] is model:
+        return hit[2:]
+
+    from tstar_tpu.kernels.image import composed_patch_projection
+
+    kernel = np.asarray(
+        variables["params"]["vision"]["patch_embedding"]["kernel"], np.float32
+    )
+    composed = composed_patch_projection(kernel, tuple(cache_hw), cell_hw, c.patch_size)
+    if composed is None:
+        out = (None, None, None)
+    else:
+        w, bias, src_patch = composed
+        out = (jnp.asarray(w), jnp.asarray(bias), src_patch)
+    if len(_GRID_PROJ_CACHE) >= 8:
+        _GRID_PROJ_CACHE.pop(next(iter(_GRID_PROJ_CACHE)))
+    _GRID_PROJ_CACHE[key] = (variables, model) + out
+    return out
 
 
 def _weight_views(model: OwlViTDetector, variables: Any, config: SearchConfig):
@@ -495,6 +609,9 @@ def make_owlvit_scorer(
     qvision, verify_model, verify_variables, qvision_verify = _weight_views(
         model, variables, config
     )
+    grid_proj_w, grid_proj_b, grid_src_patch = _grid_projection(
+        model, variables, cache.shape[1:3], config
+    )
     return OwlVitScorer(
         cache=cache,
         variables=variables,
@@ -507,4 +624,7 @@ def make_owlvit_scorer(
         verify_variables=verify_variables,
         qvision_verify=qvision_verify,
         verify_model=verify_model,
+        grid_proj_w=grid_proj_w,
+        grid_proj_b=grid_proj_b,
+        grid_src_patch=grid_src_patch,
     )
