@@ -79,7 +79,7 @@ CLAIMS = [
     ),
     (
         "README.md",
-        r"\((\d+) vs (\d+) f/s: 4-image verify",
+        r"\((\d+) vs (\d+) f/s: the fused MHA rescued",
         [
             (1, "extra.frames_per_sec_by_batch.1", 1.0, 0.12),
             (2, "extra.b1_frames_per_sec_rescore_all", 1.0, 0.12),

@@ -55,6 +55,27 @@ def test_gate_requires_tpu_and_no_bias():
     assert not use_fused_mha(jnp.zeros((1, 16, 3 * 768), jnp.bfloat16), 12, None)
 
 
+def test_custom_partitioning_batch_sharded():
+    # The kernel's custom_partitioning rule: batch-sharded (dp) inputs run
+    # the kernel per shard and the output stays batch-sharded.  Exercised
+    # on the suite's 8 virtual CPU devices in interpreter mode.
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs the 8-virtual-device CPU suite config")
+    mesh = Mesh(np.asarray(devs[:4]), ("data",))
+    rng = np.random.default_rng(2)
+    qkv = jnp.asarray(rng.normal(size=(8, 64, 3 * 2 * 64)), jnp.float32)
+    sharded = jax.device_put(qkv, NamedSharding(mesh, P("data", None, None)))
+    got = fused_mha_from_qkv(sharded, 2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(_reference(qkv, 2)), atol=2e-5
+    )
+    spec = got.sharding.spec
+    assert spec and spec[0] == "data", spec
+
+
 def test_mesh_disable_context(monkeypatch):
     # GSPMD cannot partition a pallas_call: mesh-sharded traces enter
     # fused_mha_disabled() and the gate must honor it even when every

@@ -42,14 +42,15 @@ import os
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.custom_partitioning import custom_partitioning
 
-# GSPMD cannot auto-partition a pallas_call ("Mosaic kernels cannot be
-# automatically partitioned"), so mesh-sharded executions must trace with
-# the fused kernel off.  parallel/multi_video.search_videos enters this
-# context around its mesh branch; direct callers of the batched loop under
-# a NamedSharding mesh on real multi-chip hardware must do the same (a
-# custom_partitioning wrapper — the grid is embarrassingly parallel over
-# (batch, heads) — is the eventual fix).
+# Batch-sharded (dp) meshes run the kernel per shard via the
+# custom_partitioning wrapper below, but TENSOR-PARALLEL (model-axis)
+# shardings cannot: the fused q|k|v projection layout is not
+# contiguous-shard-safe, so the partitioning rule would silently re-gather
+# the last axis every layer.  parallel/multi_video.search_videos enters
+# this context around its mesh branch when the model axis is sharded;
+# direct callers of the batched loop under a tp mesh must do the same.
 _FUSED_MHA_DISABLED = contextvars.ContextVar("fused_mha_disabled", default=False)
 
 
@@ -117,17 +118,8 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int, hpb: int):
         ).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def fused_mha_from_qkv(
-    qkv: jax.Array, num_heads: int, *, interpret: bool = False
-) -> jax.Array:
-    """Self-attention straight from the fused projection output.
-
-    ``qkv``: (B, S, 3*D) — columns [0:D) = q, [D:2D) = k, [2D:3D) = v, each
-    laid out head-major (head h at columns [h*Dh:(h+1)*Dh)), exactly the
-    layout produced by concatenating the q/k/v projection weights.  Returns
-    the attention output (B, S, D), ready for ``out_proj``.
-    """
+def _mha_pallas(qkv: jax.Array, num_heads: int, interpret: bool) -> jax.Array:
+    """The raw pallas_call (single device / one shard)."""
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
@@ -152,6 +144,70 @@ def fused_mha_from_qkv(
     )(qkv, qkv, qkv)
 
 
+# GSPMD cannot partition a pallas_call on its own, but the kernel's grid is
+# embarrassingly parallel over the image batch, so a custom_partitioning
+# wrapper makes BATCH-sharded executions (the dp mesh axis in
+# parallel/mesh.py) run the kernel locally per shard.  Sequence and feature
+# axes are pinned replicated: a last-axis (tensor-parallel) sharding would
+# be silently re-gathered here, which is why mesh traces with model-axis
+# sharding still disable the kernel via fused_mha_disabled() (the q|k|v
+# section layout of the fused projection is not contiguous-shard-safe —
+# Megatron-local attention needs a shard_map rewrite of the block, not a
+# partitioning rule).
+def _cp_batch_spec(arg_shapes):
+    from jax.sharding import PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    batch = spec[0] if len(spec) >= 1 else None
+    return P(batch, None, None)
+
+
+def _cp_infer(num_heads, interpret, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    return NamedSharding(mesh, _cp_batch_spec(arg_shapes))
+
+
+def _cp_partition(num_heads, interpret, mesh, arg_shapes, result_shape):
+    from jax.sharding import NamedSharding
+
+    sharding = NamedSharding(mesh, _cp_batch_spec(arg_shapes))
+
+    def lower(qkv_local):
+        return _mha_pallas(qkv_local, num_heads, interpret)
+
+    return mesh, lower, sharding, (sharding,)
+
+
+_fused_mha_cp = custom_partitioning(_mha_pallas, static_argnums=(1, 2))
+_fused_mha_cp.def_partition(
+    infer_sharding_from_operands=_cp_infer,   # GSPMD propagation path
+    partition=_cp_partition,
+    # Shardy propagation path: batch factor passes through, sequence and
+    # feature factors must stay replicated (the per-shard kernel needs
+    # whole rows and whole q|k|v sections).
+    sharding_rule="b s x -> b s d",
+    need_replication_factors=("s", "x", "d"),
+)
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def fused_mha_from_qkv(
+    qkv: jax.Array, num_heads: int, *, interpret: bool = False
+) -> jax.Array:
+    """Self-attention straight from the fused projection output.
+
+    ``qkv``: (B, S, 3*D) — columns [0:D) = q, [D:2D) = k, [2D:3D) = v, each
+    laid out head-major (head h at columns [h*Dh:(h+1)*Dh)), exactly the
+    layout produced by concatenating the q/k/v projection weights.  Returns
+    the attention output (B, S, D), ready for ``out_proj``.  Batch-sharded
+    inputs (dp mesh axis) partition into per-shard kernel calls via
+    custom_partitioning; tensor-parallel (last-axis) shardings are NOT
+    supported — see fused_mha_disabled().
+    """
+    return _fused_mha_cp(qkv, num_heads, interpret)
+
+
 # Measured e2e crossover (r3, scripts/ab_attention.py, interleaved
 # in-process A/B, 577-token encoder).  WIN at large image batches, where
 # XLA's materialized f32 probs traffic dominates: B=16 sparse search
@@ -169,7 +225,7 @@ def use_fused_mha(qkv: jax.Array, num_heads: int, attn_bias) -> bool:
     """Gate for routing encoder self-attention through ``fused_mha_from_qkv``.
 
     Auto-gates on the measured crossover above: TPU, no additive bias,
-    S in [256, 2048] (the (S, S) f32 logits tile must fit VMEM), head
+    S in [256, 1152] (the (S, S) f32 logits tile must fit VMEM), head
     blocks must tile to 128 lanes, and the image batch must be large
     enough that XLA's probs traffic binds.  ``TSTAR_FUSED_MHA``: "0"
     disables, "force" bypasses the batch gate (A/B harness).
@@ -190,7 +246,10 @@ def use_fused_mha(qkv: jax.Array, num_heads: int, attn_bias) -> bool:
     dh = three_d // 3 // num_heads
     if dh % 128 and (128 % dh or num_heads % (128 // max(dh, 1))):
         return False                    # cannot form 128-lane head blocks
-    if not (256 <= s <= 2048):
+    # Upper bound: the (S, S) f32 logits tile must fit VMEM with room for
+    # the q/k/v/out blocks (S=1152 -> 5.3 MB logits; S=2048 would be
+    # 16.8 MB and Mosaic-OOM).  Production S here is 577.
+    if not (256 <= s <= 1152):
         return False
     return env == "force" or b >= _MIN_FUSED_BATCH
 

@@ -147,12 +147,24 @@ def _search_bucket(
 
     max_iters = max(config.iteration_cap(nv) for nv in n_valids)
     history = None
-    # Mesh-sharded traces must not route attention through the Pallas
-    # fused-MHA kernel (GSPMD cannot partition a pallas_call); single-chip
-    # runs keep the kernel (kernels/attention.py fused_mha_disabled).
-    from tstar_tpu.kernels.attention import fused_mha_disabled
+    # dp-only meshes keep the fused Pallas MHA (its custom_partitioning
+    # rule shards the batch axis per device); tensor-parallel meshes must
+    # trace with it off — the fused q|k|v layout is not
+    # contiguous-shard-safe (kernels/attention.py fused_mha_disabled).
+    # The kernel's batch>=8 crossover gate sees GLOBAL shapes under GSPMD,
+    # so also disable when the PER-SHARD video batch falls below it (the
+    # regime where XLA's overlap wins, scripts/ab_attention.py).
+    from tstar_tpu.kernels.attention import _MIN_FUSED_BATCH, fused_mha_disabled
+    from tstar_tpu.parallel.mesh import MODEL_AXIS
 
-    guard = fused_mha_disabled() if mesh is not None else contextlib.nullcontext()
+    disable_fused = False
+    if mesh is not None:
+        dp = mesh.shape.get(DATA_AXIS, 1)
+        disable_fused = (
+            mesh.shape.get(MODEL_AXIS, 1) > 1
+            or len(tasks) // max(dp, 1) < _MIN_FUSED_BATCH
+        )
+    guard = fused_mha_disabled() if disable_fused else contextlib.nullcontext()
     with guard:
         if collect_history:
             from tstar_tpu.parallel.batched import run_search_batched_with_history
