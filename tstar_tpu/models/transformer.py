@@ -35,6 +35,29 @@ ACTIVATIONS: dict[str, Callable] = {
 }
 
 
+def apply_layernorm(
+    x: jax.Array, scale: jax.Array, bias: jax.Array, eps: float, dtype
+) -> jax.Array:
+    """The LayerNorm math shared by the module and the fused-projection
+    fallbacks: Pallas streaming kernel in its measured-win regime, else
+    flax's use_fast_variance path (f32 stats, params cast to the compute
+    dtype, ``y = (x - mean) * (rsqrt(var+eps) * scale) + bias``)."""
+    x = x.astype(dtype)
+    from tstar_tpu.kernels.layernorm import (
+        fused_layernorm,
+        use_pallas_layernorm,
+    )
+
+    if use_pallas_layernorm(x):
+        return fused_layernorm(x, scale, bias, eps=eps)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
+    mul = jax.lax.rsqrt(var + eps) * scale.astype(dtype).astype(jnp.float32)
+    y = (x32 - mean) * mul + bias.astype(dtype).astype(jnp.float32)
+    return y.astype(dtype)
+
+
 class LayerNorm(nn.Module):
     """nn.LayerNorm drop-in that routes to the Pallas fused kernel on TPU.
 
@@ -42,9 +65,8 @@ class LayerNorm(nn.Module):
     checkpoint converters and parity tests are unchanged.  On TPU the
     normalize runs as ONE streaming pass (``kernels/layernorm.py``) instead
     of XLA's ~10%-of-bandwidth cross-lane reduce fusion; elsewhere (and via
-    ``TSTAR_PALLAS_LN=0``) the math below bit-matches flax's
-    use_fast_variance path: f32 stats, params cast to the compute dtype,
-    ``y = (x - mean) * (rsqrt(var+eps) * scale) + bias``.
+    ``TSTAR_PALLAS_LN=0``) ``apply_layernorm`` bit-matches flax's
+    use_fast_variance path.
     """
 
     epsilon: float = 1e-5
@@ -55,22 +77,26 @@ class LayerNorm(nn.Module):
         d = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones_init(), (d,))
         bias = self.param("bias", nn.initializers.zeros_init(), (d,))
-        x = x.astype(self.dtype)
-        from tstar_tpu.kernels.layernorm import (
-            fused_layernorm,
-            use_pallas_layernorm,
-        )
+        return apply_layernorm(x, scale, bias, self.epsilon, self.dtype)
 
-        if use_pallas_layernorm(x):
-            return fused_layernorm(x, scale, bias, eps=self.epsilon)
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean(x32 * x32, axis=-1, keepdims=True) - mean * mean
-        mul = jax.lax.rsqrt(var + self.epsilon) * (
-            scale.astype(self.dtype).astype(jnp.float32)
+
+class _LayerNormParams(nn.Module):
+    """Declares a LayerNorm's (scale, bias) without running it, so the
+    fused LN->matmul projections (kernels/ln_matmul.py) can consume the
+    params while the checkpoint tree keeps the standard layer_norm1/2
+    names (declaration order matches LayerNorm: scale, then bias)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param(
+            "scale", nn.initializers.ones_init(), (self.features,)
         )
-        y = (x32 - mean) * mul + bias.astype(self.dtype).astype(jnp.float32)
-        return y.astype(self.dtype)
+        bias = self.param(
+            "bias", nn.initializers.zeros_init(), (self.features,)
+        )
+        return scale, bias
 
 
 class _LinearParams(nn.Module):
@@ -110,6 +136,7 @@ class MultiHeadAttention(nn.Module):
         self,
         x: jax.Array,                      # (B, S, D)
         attn_bias: Optional[jax.Array] = None,  # broadcastable to (B, H, S, S)
+        ln: Optional[tuple] = None,        # (scale, bias, eps): pre-norm x
     ) -> jax.Array:
         d = x.shape[-1]
         assert d % self.num_heads == 0
@@ -128,7 +155,20 @@ class MultiHeadAttention(nn.Module):
         ]
         w = jnp.concatenate([k for k, _ in params], axis=1).astype(self.dtype)
         bias3 = jnp.concatenate([b for _, b in params]).astype(self.dtype)
-        qkv = jnp.einsum("...sd,de->...se", x, w) + bias3
+        if ln is not None:
+            # Pre-norm fusion: x is the RESIDUAL-stream input; the LN folds
+            # into the QKV projection (kernels/ln_matmul.py) so the
+            # normalized activation never round-trips HBM.
+            ln_scale, ln_bias, ln_eps = ln
+            from tstar_tpu.kernels.ln_matmul import ln_matmul, use_ln_matmul
+
+            if use_ln_matmul(x, 3 * d):
+                qkv = ln_matmul(x, ln_scale, ln_bias, w, bias3, eps=ln_eps)
+            else:
+                h = apply_layernorm(x, ln_scale, ln_bias, ln_eps, self.dtype)
+                qkv = jnp.einsum("...sd,de->...se", h, w) + bias3
+        else:
+            qkv = jnp.einsum("...sd,de->...se", x, w) + bias3
 
         from tstar_tpu.kernels.attention import (
             fused_mha_from_qkv,
@@ -180,15 +220,43 @@ class TransformerMLP(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, ln: Optional[tuple] = None) -> jax.Array:
         d = x.shape[-1]
-        h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
+        if ln is not None:
+            # Pre-norm fusion into fc1 (see MultiHeadAttention).
+            ln_scale, ln_bias, ln_eps = ln
+            fc1_w, fc1_b = _LinearParams(
+                self.intermediate_size, d, name="fc1"
+            )()
+            from tstar_tpu.kernels.ln_matmul import ln_matmul, use_ln_matmul
+
+            if use_ln_matmul(x, self.intermediate_size):
+                h = ln_matmul(
+                    x, ln_scale, ln_bias, fc1_w.astype(self.dtype),
+                    fc1_b, eps=ln_eps,
+                )
+            else:
+                h = apply_layernorm(x, ln_scale, ln_bias, ln_eps, self.dtype)
+                h = (
+                    jnp.einsum("...sd,dn->...sn", h, fc1_w.astype(self.dtype))
+                    + fc1_b.astype(self.dtype)
+                )
+        else:
+            h = nn.Dense(self.intermediate_size, dtype=self.dtype, name="fc1")(x)
         h = ACTIVATIONS[self.activation](h)
         return nn.Dense(d, dtype=self.dtype, name="fc2")(h)
 
 
 class EncoderLayer(nn.Module):
-    """Pre-norm block: x += attn(ln1(x)); x += mlp(ln2(x))."""
+    """Pre-norm block: x += attn(ln1(x)); x += mlp(ln2(x)).
+
+    The LN params are declared here (same layer_norm1/2 checkpoint names)
+    and passed INTO the projections so each pre-norm CAN fuse with the
+    matmul it feeds (kernels/ln_matmul.py — an opt-in measured NEGATIVE:
+    XLA overlaps the VPU-bound LN behind MXU matmuls, see that module's
+    post-mortem).  The default path applies ``apply_layernorm``, which is
+    byte-identical to the LayerNorm module.
+    """
 
     num_heads: int
     intermediate_size: int
@@ -198,14 +266,15 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, attn_bias: Optional[jax.Array] = None) -> jax.Array:
-        h = LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm1")(x)
+        d = x.shape[-1]
+        ln1 = _LayerNormParams(d, name="layer_norm1")()
         x = x + MultiHeadAttention(self.num_heads, dtype=self.dtype, name="self_attn")(
-            h, attn_bias
+            x, attn_bias, ln=(*ln1, self.eps)
         )
-        h = LayerNorm(epsilon=self.eps, dtype=self.dtype, name="layer_norm2")(x)
+        ln2 = _LayerNormParams(d, name="layer_norm2")()
         x = x + TransformerMLP(
             self.intermediate_size, self.activation, dtype=self.dtype, name="mlp"
-        )(h)
+        )(x, ln=(*ln2, self.eps))
         return x
 
 
