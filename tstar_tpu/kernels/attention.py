@@ -101,21 +101,35 @@ def _pad_to(n: int, multiple: int) -> int:
 def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int, hpb: int):
     # hpb heads share a 128-lane block (Mosaic requires lane-dim blocks in
     # multiples of 128; Dh=64 -> 2 heads per program, statically sliced).
+    #
+    # VPU economy over the (S, S) tile (the kernel's internal bound —
+    # pure-MXU attention FLOPs are ~1 ms/step of its 4.1 at B=16):
+    #  * softmax runs in the exp2 domain with the 1/sqrt(dh) scale and
+    #    log2(e) folded into ONE multiplier (exp lowers to exp2 anyway;
+    #    this just removes a separate scale pass);
+    #  * normalization is DEFERRED past the AV matmul: the (S, S) divide
+    #    becomes an (S, Dh) divide — 1/9th the elements at S=577.  The
+    #    unnormalized bf16 probs are <= 1 (max-subtracted), so the f32 AV
+    #    accumulation is as safe as the normalized form, and dividing the
+    #    f32 accumulator by the f32 row sum afterwards is (slightly) more
+    #    accurate than truncating normalized probs to bf16 first.
+    log2e = 1.4426950408889634
     for i in range(hpb):
         q = q_ref[0][:, i * dh:(i + 1) * dh]            # (S, Dh) bf16
         k = k_ref[0][:, i * dh:(i + 1) * dh]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                       # (S, S) f32
+        ) * (scale * log2e)                             # (S, S) f32, log2 dom
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp(logits - m)
-        s = jnp.sum(p, axis=-1, keepdims=True)
-        probs = (p / s).astype(q.dtype)
-        o_ref[0, :, i * dh:(i + 1) * dh] = jax.lax.dot_general(
-            probs, v_ref[0][:, i * dh:(i + 1) * dh], (((1,), (0,)), ((), ())),
+        p = jnp.exp2(logits - m)                        # unnormalized probs
+        s = jnp.sum(p, axis=-1, keepdims=True)          # (S, 1) f32
+        acc = jax.lax.dot_general(
+            p.astype(q.dtype), v_ref[0][:, i * dh:(i + 1) * dh],
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(o_ref.dtype)
+        )                                               # (S, Dh) f32
+        o_ref[0, :, i * dh:(i + 1) * dh] = (acc / s).astype(o_ref.dtype)
 
 
 def _mha_pallas(qkv: jax.Array, num_heads: int, interpret: bool) -> jax.Array:
