@@ -72,8 +72,22 @@ def dense_w8a8(
     standard W8A8 scheme; tests/test_quant.py pins the math bit-for-bit
     against a NumPy simulation and bounds the end-to-end drift on the full
     detector.
+
+    An opt-in fused quantize->int8-matmul Pallas kernel exists
+    (kernels/quant_matmul.py, ``TSTAR_W8A8_KERNEL=1``, same math) — it
+    removes XLA's f32 activation-staging HBM traffic but measured 15%
+    SLOWER e2e (post-mortem in that module); the default stays here.
     """
     out_dtype = out_dtype or x.dtype
+    from tstar_tpu.kernels.quant_matmul import use_w8a8_kernel, w8a8_matmul
+
+    if use_w8a8_kernel(x, w_i8.shape[0], w_i8.shape[1]):
+        b = bias if bias is not None else jnp.zeros(
+            (w_i8.shape[1],), jnp.float32
+        )
+        return w8a8_matmul(
+            x, w_i8, w_scale, b, out_dtype_name=jnp.dtype(out_dtype).name
+        )
     x_i8, x_scale = quantize_activation(x)
     acc = int8_matmul(x_i8, w_i8)
     y = acc.astype(jnp.float32) * x_scale * w_scale
