@@ -118,7 +118,18 @@ class PatchEmbed(nn.Module):
             nn.initializers.lecun_normal(),
             (p, p, pixels.shape[-1], self.features),
         )
-        x = patchify(pixels.astype(self.dtype), p)
+        x = pixels.astype(self.dtype)
+        from tstar_tpu.kernels.patch_matmul import (
+            patch_embed_matmul,
+            use_patch_embed_kernel,
+        )
+
+        if use_patch_embed_kernel(x, p, self.features):
+            # Fused patchify->matmul (kernels/patch_matmul.py): removes the
+            # batch-growing HBM layout-copy chain XLA emits for the
+            # transpose below (~2 ms/step at B=16 in the r3 trace).
+            return patch_embed_matmul(x, kernel.astype(self.dtype))
+        x = patchify(x, p)
         w = kernel.astype(self.dtype).reshape(-1, self.features)
         return jnp.einsum("bpk,kd->bpd", x, w)
 
