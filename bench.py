@@ -321,7 +321,7 @@ def main():
     # (~10.3k) and then by the layout-native fused Pallas MHA
     # (kernels/attention.py, auto-gated at batch >= 8: ~14k in the
     # interleaved A/B); trace analysis in PERFORMANCE.md.
-    for B in (8, 16):
+    for B in (8, 16, 24):
         bsc_nv = stacked_nv = None
         try:
             bsc_nv, stacked_nv = make_batched(B, cfg_nv, scorer_nv, 200)

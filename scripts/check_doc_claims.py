@@ -79,10 +79,18 @@ CLAIMS = [
     ),
     (
         "README.md",
-        r"\((\d+) vs (\d+) f/s: the fused MHA rescued",
+        r"\((\d+) vs (\d+) f/s: rescore-all-16\s+beats bucketed-4",
         [
-            (1, "extra.frames_per_sec_by_batch.1", 1.0, 0.12),
-            (2, "extra.b1_frames_per_sec_rescore_all", 1.0, 0.12),
+            (1, "extra.b1_frames_per_sec_rescore_all", 1.0, 0.12),
+            (2, "extra.frames_per_sec_by_batch.1", 1.0, 0.12),
+        ],
+    ),
+    (
+        "README.md",
+        r"\(([\d.]+)k at batch 24,\s*(\d+)% MFU\)",
+        [
+            (1, "extra.b24_frames_per_sec_no_verify", 1e3, 0.15),
+            (2, "extra.mfu_b24_no_verify", 0.01, 0.12),
         ],
     ),
 ]
