@@ -59,6 +59,10 @@ def use_pallas_layernorm(x: jax.Array) -> bool:
     env = os.environ.get("TSTAR_PALLAS_LN", "1")
     if env == "0":
         return False
+    from tstar_tpu.kernels.attention import _FUSED_MHA_DISABLED
+
+    if _FUSED_MHA_DISABLED.get():
+        return False    # mesh-sharded trace (GSPMD can't partition pallas)
     if x.shape[-1] % 128 != 0 or x.ndim < 2:
         return False
     if jax.default_backend() != "tpu":
