@@ -38,13 +38,16 @@ from tstar_tpu.kernels.attention import _FUSED_MHA_DISABLED
 
 
 def _patch_kernel(x_ref, w_ref, o_ref, *, p: int, rows: int, d: int):
-    # x block: (1, rows, p, npw, 128) — channels padded to 4 so one patch
+    # x block: (1, rows*p, npw, 128) — channels padded to 4 so one patch
     # row is EXACTLY 128 lanes; the patchify "transpose" happens implicitly
     # by indexing the in-patch row h, so no Mosaic relayout is needed (the
-    # first attempt's (p, npw, 96) shape cast was unsupported).  The h-loop
-    # accumulates 32 MXU dots of ((rows*npw), 128) @ (128, D) in f32.
-    x = x_ref[0]                              # (rows, p, npw, 128)
-    npw = x.shape[2]
+    # first attempt's (p, npw, 96) shape cast was unsupported).  The
+    # operand stays 4-d — a pure minor-split view of (B, H, W*C) that XLA
+    # passes in WITHOUT a layout copy (the first 5-d operand form made XLA
+    # materialize a permuted reshape + copy, ~0.95 ms/step at B=16).  The
+    # h-loop accumulates p MXU dots of ((rows*npw), 128) @ (128, D) in f32.
+    hp, npw = x_ref.shape[1], x_ref.shape[2]
+    x = x_ref[0].reshape(rows, p, npw, 128)   # major-dim split: layout-free
     acc = jnp.zeros((rows * npw, d), jnp.float32)
     for h in range(p):
         a = x[:, h].reshape(rows * npw, 128)  # lane-preserving collapse
@@ -60,8 +63,9 @@ def _patch_kernel(x_ref, w_ref, o_ref, *, p: int, rows: int, d: int):
 _ROW_BLOCK = 8
 
 
-def _patch_pallas(x5d, w3d, p: int, interpret: bool):
-    b, nph, p_, npw, lanes = x5d.shape
+def _patch_pallas(x4d, w3d, p: int, interpret: bool):
+    b, hh, npw, lanes = x4d.shape
+    nph = hh // p
     d = w3d.shape[-1]
     rows = min(_ROW_BLOCK, nph)
     assert nph % rows == 0, (nph, rows)
@@ -69,15 +73,15 @@ def _patch_pallas(x5d, w3d, p: int, interpret: bool):
         functools.partial(_patch_kernel, p=p, rows=rows, d=d),
         grid=(b, nph // rows),
         in_specs=[
-            pl.BlockSpec((1, rows, p, npw, lanes), lambda bi, hi: (bi, hi, 0, 0, 0)),
+            pl.BlockSpec((1, rows * p, npw, lanes), lambda bi, hi: (bi, hi, 0, 0)),
             pl.BlockSpec((p, lanes, d), lambda bi, hi: (0, 0, 0)),  # resident
         ],
         out_specs=pl.BlockSpec(
             (1, rows * npw, d), lambda bi, hi: (bi, hi, 0)
         ),
-        out_shape=jax.ShapeDtypeStruct((b, nph * npw, d), x5d.dtype),
+        out_shape=jax.ShapeDtypeStruct((b, nph * npw, d), x4d.dtype),
         interpret=interpret,
-    )(x5d, w3d)
+    )(x4d, w3d)
 
 
 def _cp_batch_spec(arg_shapes, ndim):
@@ -97,26 +101,26 @@ def _cp_infer(p, interpret, mesh, arg_shapes, result_shape):
 def _cp_partition(p, interpret, mesh, arg_shapes, result_shape):
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    batch5 = NamedSharding(mesh, _cp_batch_spec(arg_shapes, 5))
+    batch4 = NamedSharding(mesh, _cp_batch_spec(arg_shapes, 4))
     out3 = NamedSharding(mesh, _cp_batch_spec(arg_shapes, 3))
     rep = NamedSharding(mesh, P(None, None, None))
 
-    def lower(x5d, w3d):
-        return _patch_pallas(x5d, w3d, p, interpret)
+    def lower(x4d, w3d):
+        return _patch_pallas(x4d, w3d, p, interpret)
 
-    return mesh, lower, out3, (batch5, rep)
+    return mesh, lower, out3, (batch4, rep)
 
 
 _patch_cp = custom_partitioning(
-    lambda x5d, w3d, p, interpret: _patch_pallas(x5d, w3d, p, interpret),
+    lambda x4d, w3d, p, interpret: _patch_pallas(x4d, w3d, p, interpret),
     static_argnums=(2, 3),
 )
 _patch_cp.def_partition(
     infer_sharding_from_operands=_cp_infer,
     partition=_cp_partition,
-    # factor order follows first appearance: b, h, p1, w1, l, p2, l2, d, q
-    sharding_rule="b h p1 w1 l, p2 l2 d -> b q d",
-    need_replication_factors=("h", "p1", "w1", "l", "p2", "l2", "d", "q"),
+    # factor order follows first appearance: b, h, w1, l, p2, l2, d, q
+    sharding_rule="b h w1 l, p2 l2 d -> b q d",
+    need_replication_factors=("h", "w1", "l", "p2", "l2", "d", "q"),
 )
 
 
@@ -140,8 +144,8 @@ def patch_embed_matmul(
     if c < c_pad:
         pixels = jnp.pad(pixels, ((0, 0),) * 3 + ((0, c_pad - c),))
         kernel = jnp.pad(kernel, ((0, 0),) * 2 + ((0, c_pad - c), (0, 0)))
-    x5d = pixels.reshape(b, h // p, p, (w * c_pad) // 128, 128)
-    return _patch_cp(x5d, kernel.reshape(p, 128, d), p, interpret)
+    x4d = pixels.reshape(b, h, (w * c_pad) // 128, 128)
+    return _patch_cp(x4d, kernel.reshape(p, 128, d), p, interpret)
 
 
 _MIN_BATCH = 8      # same measured crossover family as the fused MHA
