@@ -46,7 +46,7 @@ def _patch_kernel(x_ref, w_ref, o_ref, *, p: int, rows: int, d: int):
     # passes in WITHOUT a layout copy (the first 5-d operand form made XLA
     # materialize a permuted reshape + copy, ~0.95 ms/step at B=16).  The
     # h-loop accumulates p MXU dots of ((rows*npw), 128) @ (128, D) in f32.
-    hp, npw = x_ref.shape[1], x_ref.shape[2]
+    npw = x_ref.shape[2]
     x = x_ref[0].reshape(rows, p, npw, 128)   # major-dim split: layout-free
     acc = jnp.zeros((rows * npw, d), jnp.float32)
     for h in range(p):
