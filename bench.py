@@ -373,11 +373,19 @@ def main():
     jax.block_until_ready(
         detector_forward(jnp.zeros((1, size, size, 3), jnp.bfloat16))
     )
-    # best-of-3: the baseline's per-iteration host round-trips make it very
-    # sensitive to tunnel contention (20-40 f/s run-to-run); the best run is
-    # the fairest (least-contended) baseline and stabilizes vs_baseline.
-    base_fps = 0.0
-    for _ in range(3):
+    # Median of 5 INTERLEAVED repeats (VERDICT r3 item 1): the baseline's
+    # per-iteration host round-trips make it tunnel-contention-bound
+    # (measured 20-83 f/s across rounds on identical code while our side
+    # holds ~1000), so a best-of-N baseline — and therefore any fixed-number
+    # vs_baseline claim — was brittle.  Each baseline repeat is preceded by
+    # a re-timed run of OUR worst-case B=1 search so both sides sample the
+    # same contention window; the ratio uses the medians, and the per-repeat
+    # samples are recorded so the README's range claim can cite the spread.
+    base_samples, ours_probe_samples = [], []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        run_all()
+        ours_probe_samples.append(frames_scored / (time.perf_counter() - t0))
         base_frames, base_t = reference_style_search(
             detector_forward,
             cache_np,
@@ -387,8 +395,13 @@ def main():
             config=cfg,
             detector_size=size,
         )
-        base_fps = max(base_fps, base_frames / base_t)
+        base_samples.append(base_frames / base_t)
+    base_fps = float(np.median(base_samples))
     extra["reference_style_frames_per_sec"] = round(base_fps, 2)
+    extra["reference_style_fps_repeats"] = [round(x, 1) for x in base_samples]
+    extra["ours_interleaved_probe_fps"] = [
+        round(x, 1) for x in ours_probe_samples
+    ]
 
     print(json.dumps({
         "metric": "tstar_search_frames_scored_per_sec_per_chip",

@@ -45,14 +45,10 @@ CLAIMS = [
             (2, "extra.mfu_b1_with_verification", 0.01, 0.12),
         ],
     ),
-    (
-        "README.md",
-        # wide tolerance: the host-loop baseline is tunnel-contention-bound
-        # (25-57 f/s across r2/r3 runs), so the ratio legitimately swings
-        # ~2x while our side holds stable; the claim text states the range.
-        r"~?([\d.]+)× the reference\s+architecture",
-        [(1, "vs_baseline", 1.0, 0.60)],
-    ),
+    # NOTE: the vs-baseline ratio claim is range-based and checked by
+    # RANGE_CLAIMS below (the host-loop baseline is tunnel-contention-bound:
+    # 20-83 f/s across rounds on identical code, so any single-number claim
+    # about the ratio was structurally brittle — VERDICT r3 item 1).
     (
         "README.md",
         r"\*\*(\d+) f/s \(int8 W8A8 encoder\)",
@@ -92,6 +88,21 @@ CLAIMS = [
             (1, "extra.b24_frames_per_sec_no_verify", 1e3, 0.15),
             (2, "extra.mfu_b24_no_verify", 0.01, 0.12),
         ],
+    ),
+]
+
+
+# Range claims: the doc states a measured LOW-HIGH interval and the latest
+# bench value must fall inside it (with a small slack factor on each bound,
+# since a new round can legitimately land just outside a historical range
+# without the claim's substance being wrong).
+# (file, regex with two capture groups lo/hi, bench_path, slack)
+RANGE_CLAIMS = [
+    (
+        "README.md",
+        r"([\d.]+)[–-]([\d.]+)× the reference\s+architecture",
+        "vs_baseline",
+        0.25,
     ),
 ]
 
@@ -149,6 +160,39 @@ def check(verbose=True):
                     f"{fname}: claims {claimed:g} but {os.path.basename(bench_path)} "
                     f"{bpath} = {actual:g} ({100*rel:.0f}% drift > {100*tol:.0f}%)"
                 )
+    for fname, pattern, bpath, slack in RANGE_CLAIMS:
+        text = open(os.path.join(REPO, fname)).read()
+        m = re.search(pattern, text)
+        if not m:
+            failures.append(
+                f"{fname}: range-claim regex no longer matches: {pattern!r} "
+                f"(reworded or deleted? update scripts/check_doc_claims.py)"
+            )
+            continue
+        lo, hi = float(m.group(1)), float(m.group(2))
+        if lo > hi:
+            failures.append(f"{fname}: range claim bounds inverted: {lo}-{hi}")
+            continue
+        try:
+            actual = resolve(bench, bpath)
+        except KeyError as e:
+            failures.append(f"{fname}: cannot validate range claim: {e}")
+            continue
+        lo_eff, hi_eff = lo * (1 - slack), hi * (1 + slack)
+        inside = lo_eff <= actual <= hi_eff
+        status = "ok" if inside else "STALE"
+        if verbose:
+            print(
+                f"[{status}] {fname}: claims range {lo:g}-{hi:g}, bench "
+                f"{bpath} = {actual:g} (accepted {lo_eff:g}-{hi_eff:g})"
+            )
+        if not inside:
+            failures.append(
+                f"{fname}: range claim {lo:g}-{hi:g} does not bracket "
+                f"{os.path.basename(bench_path)} {bpath} = {actual:g} "
+                f"(accepted window {lo_eff:g}-{hi_eff:g}; widen or "
+                f"regenerate the claim)"
+            )
     return bench_path, failures
 
 

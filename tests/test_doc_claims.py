@@ -31,6 +31,34 @@ def test_readme_claims_match_latest_bench():
     )
 
 
+def test_range_claim_robust_to_2x_baseline_swing():
+    """VERDICT r3 item 1 done-criterion: the vs-baseline claim must survive a
+    2x swing of the host-loop baseline (its measured tenancy variance) in
+    EITHER direction, and still catch a genuinely out-of-range value."""
+    mod = _load_checker()
+    bench_path, bench = mod.latest_bench()
+    current = float(bench["vs_baseline"])
+
+    def fails_with(vs):
+        fake = dict(bench)
+        fake["vs_baseline"] = vs
+        orig = mod.latest_bench
+        mod.latest_bench = lambda: (bench_path, fake)
+        try:
+            _, failures = mod.check(verbose=False)
+        finally:
+            mod.latest_bench = orig
+        return [f for f in failures if "range claim" in f]
+
+    # baseline halves -> ratio doubles: still inside the claimed range
+    assert not fails_with(current * 2), "range claim broke on 2x swing up"
+    # baseline doubles -> ratio halves: still inside (slack floor)
+    assert not fails_with(current / 1.3), "range claim broke on swing down"
+    # a ratio far outside the claimed range MUST trip the check
+    assert fails_with(current * 8), "range claim failed to catch 8x outlier"
+    assert fails_with(current / 8), "range claim failed to catch 1/8 outlier"
+
+
 def test_coverage_carries_no_raw_perf_numbers():
     """COVERAGE.md must point at BENCH_r*.json/README, not carry copies of
     bench numbers that can go stale (the r1/r2 drift incidents both lived
