@@ -270,6 +270,172 @@ class TestShardedExecution:
             rtol=1e-5, atol=1e-7,
         )
 
+    def test_dp_tp_full_search_equals_unsharded_with_fused_mha(self, monkeypatch):
+        """VERDICT r3 item 2: the fused Pallas MHA now RUNS under the
+        dp x tp production mesh (shard-major grouped q|k|v layout +
+        custom_partitioning over (batch, head-group)) — and sharded search
+        must still equal unsharded search seed-for-seed with the kernel
+        ACTIVE on both sides (interpret mode on the CPU suite; the plan is
+        forced past the backend/batch gates, every structural gate real)."""
+        import dataclasses
+
+        from tstar_tpu.kernels import attention
+        from tstar_tpu.parallel.batched import run_search_batched_chained
+        from tstar_tpu.parallel.multi_video import PER_VIDEO_FIELDS
+
+        # Kernel-compatible dims: Dh=64 -> hpb=2; heads=4, tp=2 -> 2 local
+        # heads per shard; S = (64/4)^2 + 1 = 257 inside the [256, 1152]
+        # VMEM window.  The text tower (S=8) stays on XLA (gate rejects it).
+        tiny = OwlViTConfig(
+            vision=VisionConfig(hidden_size=256, num_layers=2, num_heads=4,
+                                intermediate_size=128, patch_size=4,
+                                image_size=64),
+            text=TextConfig(vocab_size=100, hidden_size=24, num_layers=2,
+                            num_heads=4, intermediate_size=48, max_length=8),
+            projection_dim=24,
+        )
+        model = OwlViTDetector(tiny, dtype=jnp.float32)
+        variables = model.init(
+            jax.random.key(0), jnp.zeros((1, 64, 64, 3)),
+            jnp.zeros((2, 8), jnp.int32),
+        )
+        cfg = SearchConfig(search_budget=0.5, detector_threshold=0.4)
+        n_videos, n_valid, n_pad = 4, 64, 128
+        iters = cfg.iteration_cap(n_valid)
+        tok = HashTokenizer(vocab_size=100, context=8)
+        rng = np.random.default_rng(7)
+        scorers, states = [], []
+        for i in range(n_videos):
+            cache = jnp.asarray(
+                rng.integers(0, 256, (n_pad, 20, 40, 3), dtype=np.uint8)
+            )
+            scorers.append(make_owlvit_scorer(
+                model, variables, cache, ["couch"], ["tv"], tok, cfg
+            ))
+            states.append(init_state(n_valid, 1, cfg, jax.random.key(20 + i),
+                                     n_pad=n_pad))
+        batched_scorer = OwlVitScorer(
+            cache=jnp.stack([s.cache for s in scorers]),
+            variables=variables,
+            query_embeds=jnp.stack([s.query_embeds for s in scorers]),
+            query_mask=jnp.stack([s.query_mask for s in scorers]),
+            class_weights=jnp.stack([s.class_weights for s in scorers]),
+            model=model,
+            config=cfg,
+        )
+        stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *states)
+
+        # Force the kernel past the backend + batch-crossover gates only
+        # (structural gates stay real); run it in interpret mode on CPU.
+        # The backend monkeypatch is module-global, so explicitly keep the
+        # OTHER TPU kernels (Pallas LN) off — they have no interpret shim
+        # here and would hard-fail on the CPU backend.
+        monkeypatch.setenv("TSTAR_FUSED_MHA", "force")
+        monkeypatch.setenv("TSTAR_PALLAS_LN", "0")
+        monkeypatch.setattr(attention.jax, "default_backend", lambda: "tpu")
+        real = attention.fused_mha_from_qkv.__wrapped__  # un-jitted fn
+        monkeypatch.setattr(
+            attention, "fused_mha_from_qkv",
+            lambda qkv, nh, *, interpret=False, tp_groups=1: real(
+                qkv, nh, interpret=True, tp_groups=tp_groups
+            ),
+        )
+
+        finals_u, secs_u = run_search_batched_chained(
+            stacked, batched_scorer, cfg, max_iterations=iters
+        )
+
+        mesh = make_mesh(data=2, model=2, devices=jax.devices()[:4])
+        sharded_vars = shard_variables(mesh, variables)
+        cfg_mesh = dataclasses.replace(cfg, verify_flat=False)
+
+        def dp_put(x):
+            return jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            )
+
+        per_video = {
+            f: dp_put(getattr(batched_scorer, f))
+            for f in PER_VIDEO_FIELDS[type(batched_scorer).__name__]
+        }
+        sharded_scorer = dataclasses.replace(
+            batched_scorer, variables=sharded_vars, config=cfg_mesh, **per_video
+        )
+        stacked_s = jax.tree_util.tree_map(dp_put, stacked)
+
+        # The entry point must infer (dp=2, tp=2) from the shardings and
+        # plan the grouped tp layout on its own (r3 item 8: no caller-side
+        # guard) — pin that while we're tracing.
+        planned = {}
+        real_plan = attention.fused_mha_plan
+
+        def spy_plan(*a, **kw):
+            out = real_plan(*a, **kw)
+            if out is not None and a[1] == 257:   # vision tower only
+                planned[out] = planned.get(out, 0) + 1
+            return out
+
+        monkeypatch.setattr(attention, "fused_mha_plan", spy_plan)
+        finals_s, secs_s = run_search_batched_chained(
+            stacked_s, sharded_scorer, cfg_mesh, max_iterations=iters
+        )
+        assert 2 in planned, f"tp=2 grouped plan never used: {planned}"
+
+        np.testing.assert_array_equal(np.asarray(secs_s), np.asarray(secs_u))
+        np.testing.assert_array_equal(
+            np.asarray(finals_s.iteration), np.asarray(finals_u.iteration)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(finals_s.remaining), np.asarray(finals_u.remaining)
+        )
+        np.testing.assert_allclose(
+            np.asarray(finals_s.scores), np.asarray(finals_u.scores),
+            rtol=1e-5, atol=1e-6,
+        )
+
+    def test_mesh_info_gate_without_caller_guard(self, monkeypatch):
+        """VERDICT r3 item 8 done-criterion: a dp-sharded batch of 8 videos
+        (1 per shard) must trace with the fused kernel OFF without the
+        caller doing anything — the entry point infers the per-shard batch
+        from the states' shardings."""
+        from tstar_tpu.kernels import attention
+        from tstar_tpu.search.state import init_state as _init
+
+        monkeypatch.setenv("TSTAR_FUSED_MHA", "1")
+        monkeypatch.setattr(attention.jax, "default_backend", lambda: "tpu")
+        calls = []
+        real_plan = attention.fused_mha_plan
+        monkeypatch.setattr(
+            attention, "fused_mha_plan",
+            lambda *a, **kw: calls.append(a) or real_plan(*a, **kw),
+        )
+
+        n_videos, n_valid, n_pad = 8, 64, 128
+        cfg = SearchConfig(search_budget=0.5)
+        batched_scorer, _ = _make_table_scorers(n_videos, n_valid, n_pad)
+        # TableScorer has no encoder, so probe the gate directly under the
+        # guard the entry point sets: 8 videos / dp=8 -> 1 per shard.
+        mesh = make_mesh(data=8, model=1)
+        states = _stack_states([
+            _init(n_valid, 1, cfg, jax.random.key(i), n_pad=n_pad)
+            for i in range(n_videos)
+        ])
+        dp_states = jax.tree_util.tree_map(
+            lambda x: jax.device_put(
+                x, NamedSharding(mesh, P("data", *([None] * (x.ndim - 1))))
+            ),
+            states,
+        )
+        from tstar_tpu.parallel.batched import _mesh_info_guard
+
+        with _mesh_info_guard(dp_states):
+            info = attention.current_mesh_kernel_info()
+            assert (info.dp, info.tp) == (8, 1)
+            # global batch 8 passes the naive gate; per-shard batch 1 must not
+            assert real_plan(8, 577, 3 * 768, 12, None) is None
+        # outside the guard the same shape fuses
+        assert real_plan(8, 577, 3 * 768, 12, None) == 1
+
     def test_tp_sharded_generate_matches_unsharded(self):
         """VERDICT r2 item 3b: TP-sharded greedy decode == unsharded decode,
         token for token."""

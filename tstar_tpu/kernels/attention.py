@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import contextlib
 import contextvars
+import dataclasses
 import functools
 import os
 
@@ -44,24 +45,85 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
 
-# Batch-sharded (dp) meshes run the kernel per shard via the
-# custom_partitioning wrapper below, but TENSOR-PARALLEL (model-axis)
-# shardings cannot: the fused q|k|v projection layout is not
-# contiguous-shard-safe, so the partitioning rule would silently re-gather
-# the last axis every layer.  parallel/multi_video.search_videos enters
-# this context around its mesh branch when the model axis is sharded;
-# direct callers of the batched loop under a tp mesh must do the same.
+# Explicit trace-time kill switch for the Pallas kernel suite (used by the
+# opt-in quantized/fused-LN variants whose layouts the partitioning rules
+# below don't cover, and available to user code).
 _FUSED_MHA_DISABLED = contextvars.ContextVar("fused_mha_disabled", default=False)
 
 
 @contextlib.contextmanager
 def fused_mha_disabled():
-    """Trace-time disable of the fused Pallas MHA (mesh-sharded paths)."""
+    """Trace-time disable of the fused Pallas MHA (and the patch kernel)."""
     token = _FUSED_MHA_DISABLED.set(True)
     try:
         yield
     finally:
         _FUSED_MHA_DISABLED.reset(token)
+
+
+# ---------------------------------------------------------------------------
+# Mesh kernel info: how the ambient mesh divides the shapes the kernels see.
+#
+# Under GSPMD/shardy a jitted trace sees GLOBAL shapes, but the measured
+# crossovers (batch >= 8 for the fused MHA and patch kernels) are about the
+# PER-SHARD work each device runs, and tensor-parallel support needs the
+# model-axis degree to lay the fused q|k|v projection out in shard-major
+# groups.  Every batched entry point (parallel/batched.run_search_batched*)
+# infers (dp, tp) from its state arrays' shardings and enters this context
+# around the trace, so kernel gates apply per-shard shapes identically no
+# matter which entry point the caller used (VERDICT r3 items 2 + 8).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshKernelInfo:
+    dp: int = 1     # divisor of the leading (image-batch) axis across shards
+    tp: int = 1     # model-axis degree (fused q|k|v shard groups)
+
+
+_MESH_KERNEL_INFO = contextvars.ContextVar(
+    "mesh_kernel_info", default=MeshKernelInfo()
+)
+
+
+@contextlib.contextmanager
+def mesh_kernel_info(dp: int = 1, tp: int = 1):
+    """Declare the ambient mesh's (dp, tp) division for kernel gating."""
+    token = _MESH_KERNEL_INFO.set(MeshKernelInfo(dp=max(1, dp), tp=max(1, tp)))
+    try:
+        yield
+    finally:
+        _MESH_KERNEL_INFO.reset(token)
+
+
+def current_mesh_kernel_info() -> MeshKernelInfo:
+    return _MESH_KERNEL_INFO.get()
+
+
+def infer_mesh_kernel_info(array, model_axis: str = "model") -> MeshKernelInfo:
+    """Derive (dp, tp) from a CONCRETE array's NamedSharding.
+
+    ``array`` is typically the batched search state's leading-axis-sharded
+    ``P``; dp is the product of mesh axes sharding its leading dim and tp is
+    the mesh's model-axis size.  Tracers and unsharded arrays yield the
+    default (1, 1)."""
+    from jax.sharding import NamedSharding
+
+    try:
+        sharding = array.sharding
+    except Exception:  # noqa: BLE001 — tracer without a committed sharding
+        return MeshKernelInfo()
+    if not isinstance(sharding, NamedSharding):
+        return MeshKernelInfo()
+    mesh = sharding.mesh
+    spec = sharding.spec
+    dp = 1
+    if len(spec) >= 1 and spec[0] is not None:
+        axes = spec[0] if isinstance(spec[0], tuple) else (spec[0],)
+        for a in axes:
+            dp *= dict(mesh.shape).get(a, 1)
+    tp = dict(mesh.shape).get(model_axis, 1)
+    return MeshKernelInfo(dp=dp, tp=tp)
 
 
 def _pad_to(n: int, multiple: int) -> int:
@@ -132,8 +194,20 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int, hpb: int):
         o_ref[0, :, i * dh:(i + 1) * dh] = (acc / s).astype(o_ref.dtype)
 
 
-def _mha_pallas(qkv: jax.Array, num_heads: int, interpret: bool) -> jax.Array:
-    """The raw pallas_call (single device / one shard)."""
+def _mha_pallas(
+    qkv: jax.Array, num_heads: int, interpret: bool, groups: int = 1
+) -> jax.Array:
+    """The raw pallas_call (single device / one shard).
+
+    ``groups=1``: the plain fused layout, columns [q | k | v].
+    ``groups=G``: the SHARD-MAJOR tensor-parallel layout
+    [q_0|k_0|v_0 | q_1|k_1|v_1 | ...] where group g carries heads
+    [g*H/G, (g+1)*H/G) — the layout ``models/transformer.py`` builds under a
+    tp mesh so that a last-axis sharding of degree G leaves each shard a
+    self-contained q|k|v block.  The output is plain head-major (B, S, D) in
+    both cases (groups are contiguous head ranges), so downstream out_proj
+    is identical.
+    """
     b, s, three_d = qkv.shape
     d = three_d // 3
     dh = d // num_heads
@@ -141,33 +215,44 @@ def _mha_pallas(qkv: jax.Array, num_heads: int, interpret: bool) -> jax.Array:
     hpb = max(1, 128 // dh)                 # heads per 128-lane block
     assert num_heads % hpb == 0 and (dh * hpb) % 128 == 0, (num_heads, dh)
     blocks = num_heads // hpb
-    head_block = lambda base: pl.BlockSpec(
-        (1, s, dh * hpb), lambda bi, hi, base=base: (bi, 0, base + hi)
-    )
+    assert blocks % groups == 0, (blocks, groups)
+    bpg = blocks // groups                  # head-blocks per shard group
+
+    def head_block(section):
+        # Column-block of the q/k/v section for grid head-block hi: group
+        # g = hi // bpg starts at block 3*bpg*g; its q/k/v sections are bpg
+        # blocks each.  groups=1 reduces to the plain [q | k | v] offsets.
+        def index(bi, hi, section=section):
+            g, j = hi // bpg, hi % bpg
+            return (bi, 0, 3 * bpg * g + section * bpg + j)
+
+        return pl.BlockSpec((1, s, dh * hpb), index)
+
     return pl.pallas_call(
         functools.partial(_mha_kernel, scale=scale, dh=dh, hpb=hpb),
         grid=(b, blocks),
-        in_specs=[
-            head_block(0),              # q block: columns [hi*128 : ...)
-            head_block(blocks),         # k block: columns [D + hi*128 : ...)
-            head_block(2 * blocks),     # v block: columns [2D + hi*128 : ...)
-        ],
+        in_specs=[head_block(0), head_block(1), head_block(2)],
         out_specs=pl.BlockSpec((1, s, dh * hpb), lambda bi, hi: (bi, 0, hi)),
         out_shape=jax.ShapeDtypeStruct((b, s, d), qkv.dtype),
         interpret=interpret,
     )(qkv, qkv, qkv)
 
 
-# GSPMD cannot partition a pallas_call on its own, but the kernel's grid is
-# embarrassingly parallel over the image batch, so a custom_partitioning
-# wrapper makes BATCH-sharded executions (the dp mesh axis in
-# parallel/mesh.py) run the kernel locally per shard.  Sequence and feature
-# axes are pinned replicated: a last-axis (tensor-parallel) sharding would
-# be silently re-gathered here, which is why mesh traces with model-axis
-# sharding still disable the kernel via fused_mha_disabled() (the q|k|v
-# section layout of the fused projection is not contiguous-shard-safe —
-# Megatron-local attention needs a shard_map rewrite of the block, not a
-# partitioning rule).
+# GSPMD/shardy cannot partition a pallas_call on its own, but the kernel's
+# grid is embarrassingly parallel over (batch, head-group), so
+# custom_partitioning wrappers make sharded executions run the kernel
+# locally per shard:
+#   * groups=1 (``_fused_mha_cp``): batch (dp) sharding only — sequence and
+#     feature axes pinned replicated, because a last-axis sharding of the
+#     PLAIN [q | k | v] layout hands each shard mixed q/k/v columns.
+#   * groups=G (``_tp_cp``): the shard-major grouped layout (see
+#     ``_mha_pallas``) makes a last-axis sharding of degree T | G leave each
+#     shard G/T whole q|k|v blocks, so the partition rule lowers a LOCAL
+#     kernel with H/T heads — Megatron-style head parallelism with zero
+#     collectives inside the attention block (the out_proj psum stays where
+#     GSPMD already puts it).  The shardy rule expresses this with compound
+#     factors: "b s (g t e) -> b s (g e)" — only the group factor g may
+#     shard, and it propagates between operand and result.
 def _cp_batch_spec(arg_shapes):
     from jax.sharding import PartitionSpec as P
 
@@ -193,7 +278,13 @@ def _cp_partition(num_heads, interpret, mesh, arg_shapes, result_shape):
     return mesh, lower, sharding, (sharding,)
 
 
-_fused_mha_cp = custom_partitioning(_mha_pallas, static_argnums=(1, 2))
+def _mha_pallas_plain(qkv, num_heads, interpret):
+    # groups-free wrapper: custom_partitioning would otherwise treat the
+    # defaulted ``groups`` parameter as a traced operand.
+    return _mha_pallas(qkv, num_heads, interpret)
+
+
+_fused_mha_cp = custom_partitioning(_mha_pallas_plain, static_argnums=(1, 2))
 _fused_mha_cp.def_partition(
     infer_sharding_from_operands=_cp_infer,   # GSPMD propagation path
     partition=_cp_partition,
@@ -205,20 +296,104 @@ _fused_mha_cp.def_partition(
 )
 
 
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
+def _axes_product(mesh, entry) -> int:
+    if entry is None:
+        return 1
+    axes = entry if isinstance(entry, tuple) else (entry,)
+    shape = dict(mesh.shape)
+    n = 1
+    for a in axes:
+        n *= shape.get(a, 1)
+    return n
+
+
+def _tp_spec(arg_shapes):
+    """(batch, None, last) spec of the qkv operand."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = arg_shapes[0].sharding.spec
+    batch = spec[0] if len(spec) >= 1 else None
+    last = spec[2] if len(spec) >= 3 else None
+    return P(batch, None, last)
+
+
+@functools.lru_cache(maxsize=None)
+def _tp_cp(groups: int, e: int):
+    """custom_partitioning instance for the grouped (tp) layout.
+
+    Cached per (groups, per-group head width e = D/groups): the shardy rule
+    needs concrete factor sizes.  The partition callback lowers a LOCAL
+    kernel whose head count and group count divide by the last-axis sharding
+    degree T (T must divide ``groups``; the gate guarantees it)."""
+
+    def fn(qkv, num_heads, interpret):
+        return _mha_pallas(qkv, num_heads, interpret, groups=groups)
+
+    def infer(num_heads, interpret, mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding
+
+        return NamedSharding(mesh, _tp_spec(arg_shapes))
+
+    def partition(num_heads, interpret, mesh, arg_shapes, result_shape):
+        from jax.sharding import NamedSharding
+
+        spec = _tp_spec(arg_shapes)
+        t = _axes_product(mesh, spec[2])
+        assert groups % max(t, 1) == 0 and num_heads % max(t, 1) == 0, (
+            f"last-axis sharding degree {t} must divide tp groups {groups} "
+            f"and heads {num_heads}"
+        )
+        sharding = NamedSharding(mesh, spec)
+
+        def lower(qkv_local):
+            return _mha_pallas(
+                qkv_local, num_heads // t, interpret, groups=groups // t
+            )
+
+        return mesh, lower, sharding, (sharding,)
+
+    cp = custom_partitioning(fn, static_argnums=(1, 2))
+    cp.def_partition(
+        infer_sharding_from_operands=infer,
+        partition=partition,
+        sharding_rule="b s (g t e) -> b s (g e)",
+        need_replication_factors=("s", "t", "e"),
+        g=groups, t=3, e=e,
+    )
+    return cp
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "interpret", "tp_groups")
+)
 def fused_mha_from_qkv(
-    qkv: jax.Array, num_heads: int, *, interpret: bool = False
+    qkv: jax.Array,
+    num_heads: int,
+    *,
+    interpret: bool = False,
+    tp_groups: int = 1,
 ) -> jax.Array:
     """Self-attention straight from the fused projection output.
 
-    ``qkv``: (B, S, 3*D) — columns [0:D) = q, [D:2D) = k, [2D:3D) = v, each
-    laid out head-major (head h at columns [h*Dh:(h+1)*Dh)), exactly the
-    layout produced by concatenating the q/k/v projection weights.  Returns
-    the attention output (B, S, D), ready for ``out_proj``.  Batch-sharded
-    inputs (dp mesh axis) partition into per-shard kernel calls via
-    custom_partitioning; tensor-parallel (last-axis) shardings are NOT
-    supported — see fused_mha_disabled().
+    ``tp_groups=1``: ``qkv`` is (B, S, 3*D) with columns [0:D) = q,
+    [D:2D) = k, [2D:3D) = v, each head-major — exactly the layout produced
+    by concatenating the q/k/v projection weights.  Batch-sharded inputs
+    (dp mesh axis) partition into per-shard kernel calls.
+
+    ``tp_groups=G``: ``qkv`` is in the SHARD-MAJOR grouped layout
+    [q_0|k_0|v_0|...|q_{G-1}|k_{G-1}|v_{G-1}] (group g = heads
+    [g*H/G, (g+1)*H/G)), which ``models/transformer.py`` builds under a
+    model-axis mesh; a last-axis sharding of degree T | G then runs a local
+    kernel with H/T heads per shard — no re-gather, no collectives inside
+    the block.  Unsharded execution of the grouped layout is bit-identical
+    to the plain layout (same per-head math, contiguous head groups).
+
+    Returns the attention output (B, S, D) head-major, ready for
+    ``out_proj`` in both layouts.
     """
+    if tp_groups > 1:
+        d = qkv.shape[-1] // 3
+        return _tp_cp(tp_groups, d // tp_groups)(qkv, num_heads, interpret)
     return _fused_mha_cp(qkv, num_heads, interpret)
 
 
@@ -235,37 +410,59 @@ def fused_mha_from_qkv(
 _MIN_FUSED_BATCH = 8
 
 
-def use_fused_mha(qkv: jax.Array, num_heads: int, attn_bias) -> bool:
-    """Gate for routing encoder self-attention through ``fused_mha_from_qkv``.
+def fused_mha_plan(
+    b: int, s: int, three_d: int, num_heads: int, attn_bias
+):
+    """Gate + layout plan for ``fused_mha_from_qkv``.
+
+    Returns ``None`` (don't fuse) or the ``tp_groups`` layout to build:
+    1 under no mesh / dp-only meshes, the model-axis degree under
+    tensor-parallel meshes (the shard-major grouped q|k|v layout).
 
     Auto-gates on the measured crossover above: TPU, no additive bias,
     S in [256, 1152] (the (S, S) f32 logits tile must fit VMEM), head
-    blocks must tile to 128 lanes, and the image batch must be large
-    enough that XLA's probs traffic binds.  ``TSTAR_FUSED_MHA``: "0"
+    blocks must tile to 128 lanes — per SHARD under tensor parallelism —
+    and the PER-SHARD image batch must be large enough that XLA's probs
+    traffic binds (mesh division via ``mesh_kernel_info``, set by the
+    batched entry points; VERDICT r3 item 8).  ``TSTAR_FUSED_MHA``: "0"
     disables, "force" bypasses the batch gate (A/B harness).
     """
     env = os.environ.get("TSTAR_FUSED_MHA", "1")
     if env == "0":
-        return False
+        return None
     if _FUSED_MHA_DISABLED.get():
-        return False                    # mesh-sharded trace (see above)
+        return None                     # explicit trace-time disable
     if attn_bias is not None:
-        return False
+        return None
     try:
         if jax.default_backend() != "tpu":
-            return False
+            return None
     except Exception:  # noqa: BLE001 — backend not initialized yet
-        return False
-    b, s, three_d = qkv.shape
+        return None
+    info = _MESH_KERNEL_INFO.get()
+    tp = info.tp
+    if num_heads % tp or (three_d // 3) % tp:
+        return None                     # heads must split evenly over shards
+    heads_local = num_heads // tp
     dh = three_d // 3 // num_heads
-    if dh % 128 and (128 % dh or num_heads % (128 // max(dh, 1))):
-        return False                    # cannot form 128-lane head blocks
+    hpb = 128 // dh if dh and not 128 % dh else 0
+    if dh % 128 and (not hpb or heads_local % hpb):
+        return None                     # cannot form 128-lane head blocks
     # Upper bound: the (S, S) f32 logits tile must fit VMEM with room for
     # the q/k/v/out blocks (S=1152 -> 5.3 MB logits; S=2048 would be
     # 16.8 MB and Mosaic-OOM).  Production S here is 577.
     if not (256 <= s <= 1152):
-        return False
-    return env == "force" or b >= _MIN_FUSED_BATCH
+        return None
+    b_local = b // info.dp if info.dp > 1 and b % info.dp == 0 else b
+    if env != "force" and b_local < _MIN_FUSED_BATCH:
+        return None
+    return tp
+
+
+def use_fused_mha(qkv: jax.Array, num_heads: int, attn_bias) -> bool:
+    """Boolean form of ``fused_mha_plan`` (tests / simple callers)."""
+    b, s, three_d = qkv.shape
+    return fused_mha_plan(b, s, three_d, num_heads, attn_bias) is not None
 
 
 def use_flash_attention(q: jax.Array, attn_bias) -> bool:

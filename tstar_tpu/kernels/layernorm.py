@@ -59,10 +59,19 @@ def use_pallas_layernorm(x: jax.Array) -> bool:
     env = os.environ.get("TSTAR_PALLAS_LN", "1")
     if env == "0":
         return False
-    from tstar_tpu.kernels.attention import _FUSED_MHA_DISABLED
+    from tstar_tpu.kernels.attention import (
+        _FUSED_MHA_DISABLED,
+        _MESH_KERNEL_INFO,
+    )
 
     if _FUSED_MHA_DISABLED.get():
-        return False    # mesh-sharded trace (GSPMD can't partition pallas)
+        return False    # explicit kernel-suite kill switch
+    info = _MESH_KERNEL_INFO.get()
+    if info.dp > 1 or info.tp > 1:
+        # No partitioning rule for this kernel (unlike fused MHA/patch):
+        # mesh traces must stay on XLA's LN.  Moot in practice — the row
+        # gate already excludes every mesh regime (B >= 8 -> rows > 1024).
+        return False
     if x.shape[-1] % 128 != 0 or x.ndim < 2:
         return False
     if jax.default_backend() != "tpu":

@@ -184,8 +184,13 @@ def use_ln_matmul(x: jax.Array, n_out: int) -> bool:
     env = os.environ.get("TSTAR_LN_MATMUL", "0")
     if env == "0":
         return False
+    from tstar_tpu.kernels.attention import _MESH_KERNEL_INFO
+
     if _FUSED_MHA_DISABLED.get():
-        return False                    # tp-sharded trace (see module doc)
+        return False                    # explicit kernel-suite kill switch
+    info = _MESH_KERNEL_INFO.get()
+    if info.dp > 1 or info.tp > 1:
+        return False                    # no partitioning rule for this kernel
     try:
         if jax.default_backend() != "tpu":
             return False

@@ -20,8 +20,12 @@ Math is identical to ``models/owlvit.patchify`` + the PatchEmbed einsum
 reference's HF conv patch embedding (`transformers` OwlViT, used via
 `TStar/interface_heuristic.py:200-210`).
 
-Sharding: batch-axis custom_partitioning like kernels/attention.py;
-tensor-parallel traces disable via fused_mha_disabled().
+Sharding: batch-axis custom_partitioning like kernels/attention.py.  The
+patch-embed weight replicates under tensor parallelism
+(parallel/shardings.py keeps patch convs unsharded), so unlike the fused
+MHA this kernel has no tp layout concern — only the per-shard batch gate
+(``mesh_kernel_info``) and the explicit ``fused_mha_disabled`` kill switch
+apply.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.custom_partitioning import custom_partitioning
 
-from tstar_tpu.kernels.attention import _FUSED_MHA_DISABLED
+from tstar_tpu.kernels.attention import _FUSED_MHA_DISABLED, _MESH_KERNEL_INFO
 
 
 def _patch_kernel(x_ref, w_ref, o_ref, *, p: int, rows: int, d: int):
@@ -162,7 +166,7 @@ def use_patch_embed_kernel(pixels: jax.Array, patch_size: int, d: int) -> bool:
     if env == "0":
         return False
     if _FUSED_MHA_DISABLED.get():
-        return False                    # tp-sharded trace
+        return False                    # explicit kernel-suite kill switch
     try:
         if jax.default_backend() != "tpu":
             return False
@@ -178,4 +182,9 @@ def use_patch_embed_kernel(pixels: jax.Array, patch_size: int, d: int) -> bool:
         return False
     if p * 128 * d * 2 > 7 * 1024 * 1024:  # padded weight stays VMEM-resident
         return False
-    return env == "force" or b >= _MIN_BATCH
+    # Crossover gate applies to the PER-SHARD batch under a dp mesh
+    # (mesh_kernel_info, set by the batched entry points — VERDICT r3
+    # item 8); global shapes under GSPMD would otherwise overstate it.
+    info = _MESH_KERNEL_INFO.get()
+    b_local = b // info.dp if info.dp > 1 and b % info.dp == 0 else b
+    return env == "force" or b_local >= _MIN_BATCH

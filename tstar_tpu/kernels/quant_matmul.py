@@ -149,8 +149,13 @@ def use_w8a8_kernel(x: jax.Array, k: int, n: int) -> bool:
     env = os.environ.get("TSTAR_W8A8_KERNEL", "0")
     if env == "0":
         return False
+    from tstar_tpu.kernels.attention import _MESH_KERNEL_INFO
+
     if _FUSED_MHA_DISABLED.get():
-        return False                    # tp-sharded trace
+        return False                    # explicit kernel-suite kill switch
+    info = _MESH_KERNEL_INFO.get()
+    if info.dp > 1 or info.tp > 1:
+        return False                    # no partitioning rule for this kernel
     try:
         if jax.default_backend() != "tpu":
             return False

@@ -150,11 +150,14 @@ def encode_image_int8(
         from tstar_tpu.kernels.attention import (
             flash_mha,
             fused_mha_from_qkv,
+            fused_mha_plan,
             use_flash_attention,
-            use_fused_mha,
         )
 
-        if use_fused_mha(qkv, c.num_heads, None):
+        # plan == 1 only: this path builds the PLAIN q|k|v layout, so the
+        # grouped tensor-parallel plan (> 1) must fall through to the XLA
+        # attention (the quantized tower has no grouped-weight builder).
+        if fused_mha_plan(b, seq, qkv.shape[-1], c.num_heads, None) == 1:
             attn = fused_mha_from_qkv(qkv, c.num_heads)
         else:
             q, k, v = jnp.split(qkv, 3, axis=-1)

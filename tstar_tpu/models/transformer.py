@@ -149,12 +149,41 @@ class MultiHeadAttention(nn.Module):
         # while the fused dot tiles normally.  The concat is loop-invariant
         # (weights), so XLA hoists it out of the search while_loop; numerics
         # are identical per output column.
+        from tstar_tpu.kernels.attention import fused_mha_plan
+
+        plan = (
+            fused_mha_plan(x.shape[0], x.shape[1], 3 * d, self.num_heads,
+                           attn_bias)
+            if x.ndim == 3 else None
+        )
         params = [
             _LinearParams(d, d, name=name)()
             for name in ("q_proj", "k_proj", "v_proj")
         ]
-        w = jnp.concatenate([k for k, _ in params], axis=1).astype(self.dtype)
-        bias3 = jnp.concatenate([b for _, b in params]).astype(self.dtype)
+        if plan is not None and plan > 1:
+            # Tensor-parallel fused-kernel layout: interleave per-shard-group
+            # column blocks [q_g | k_g | v_g] so a model-axis sharding of the
+            # (D, 3D) weight (each q/k/v kernel is already column-sharded,
+            # parallel/shardings.py) leaves every shard a self-contained
+            # q|k|v section — the regrouping maps shard-local slices to
+            # shard-local slices, so GSPMD moves no data.  Head order within
+            # and across groups is unchanged (groups are contiguous head
+            # ranges), so the kernel's head-major output and out_proj are
+            # identical to the plain layout.
+            g = plan
+            cols = [jnp.split(k, g, axis=1) for k, _ in params]
+            w = jnp.concatenate(
+                [c[gi] for gi in range(g) for c in cols], axis=1
+            ).astype(self.dtype)
+            bcols = [jnp.split(bb, g) for _, bb in params]
+            bias3 = jnp.concatenate(
+                [c[gi] for gi in range(g) for c in bcols]
+            ).astype(self.dtype)
+        else:
+            w = jnp.concatenate(
+                [k for k, _ in params], axis=1
+            ).astype(self.dtype)
+            bias3 = jnp.concatenate([b for _, b in params]).astype(self.dtype)
         if ln is not None:
             # Pre-norm fusion: x is the RESIDUAL-stream input; the LN folds
             # into the QKV projection (kernels/ln_matmul.py) so the
@@ -170,18 +199,18 @@ class MultiHeadAttention(nn.Module):
         else:
             qkv = jnp.einsum("...sd,de->...se", x, w) + bias3
 
-        from tstar_tpu.kernels.attention import (
-            fused_mha_from_qkv,
-            use_fused_mha,
-        )
+        from tstar_tpu.kernels.attention import fused_mha_from_qkv
 
-        if qkv.ndim == 3 and use_fused_mha(qkv, self.num_heads, attn_bias):
+        if plan is not None:
             # Layout-native single-block Pallas MHA: consumes the fused
             # projection output directly (no split/transpose), keeps the
             # (S, S) probabilities in VMEM (measured r3: XLA's fused
             # attention is bandwidth-bound on its materialized f32 probs
-            # at these shapes — numbers in kernels/attention.py).
-            out = fused_mha_from_qkv(qkv, self.num_heads)
+            # at these shapes — numbers in kernels/attention.py).  Under a
+            # tensor-parallel mesh ``plan`` > 1 and qkv is in the grouped
+            # shard-major layout built above; the kernel's
+            # custom_partitioning then runs H/tp heads per shard.
+            out = fused_mha_from_qkv(qkv, self.num_heads, tp_groups=plan)
             return dense("out_proj")(out)
 
         q, k, v = jnp.split(qkv, 3, axis=-1)

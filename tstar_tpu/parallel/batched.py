@@ -10,6 +10,7 @@ masked no-ops until every video's loop exits — one ``lax.while_loop`` total.
 
 from __future__ import annotations
 
+import contextlib
 from typing import Any, Tuple
 
 import jax
@@ -270,6 +271,26 @@ def batched_search_step(
     return masked, aux
 
 
+def _mesh_info_guard(states: SearchState):
+    """Kernel-gating context derived from the states' actual shardings.
+
+    Every batched entry point funnels through this, so the Pallas kernel
+    gates (per-shard batch crossover, tensor-parallel grouped layout) apply
+    identically whether the caller came via parallel.multi_video,
+    __graft_entry__, or a direct ``run_search_batched*`` call on dp_put
+    state (VERDICT r3 items 2 + 8).  Unsharded states (single chip) and
+    tracers (entry already inside a jit) yield a no-op context."""
+    from tstar_tpu.kernels.attention import (
+        infer_mesh_kernel_info,
+        mesh_kernel_info,
+    )
+
+    info = infer_mesh_kernel_info(states.P)
+    if info.dp > 1 or info.tp > 1:
+        return mesh_kernel_info(dp=info.dp, tp=info.tp)
+    return contextlib.nullcontext()
+
+
 def run_search_batched_chained(
     states: SearchState,
     scorer,
@@ -279,9 +300,10 @@ def run_search_batched_chained(
     """Host-dispatched chain of batched masked steps (see
     engine.run_search_chained for why: per-iteration while-loop control costs
     dominate on the tunneled TPU attachment).  Bit-identical results."""
-    for _ in range(max_iterations):
-        states = _batched_step_jit(states, scorer, config)
-    return _batched_pop_jit(states, config)
+    with _mesh_info_guard(states):
+        for _ in range(max_iterations):
+            states = _batched_step_jit(states, scorer, config)
+        return _batched_pop_jit(states, config)
 
 
 def _batched_pop(states: SearchState, config: SearchConfig):
@@ -308,6 +330,11 @@ def run_search_batched_with_history(
     (``detect_bbox_iters`` / annotated GIFs, interface_searcher.py:469-474)
     for every video in the batch.  Bit-identical search results to
     ``run_search_batched_chained`` (same step function, same order)."""
+    with _mesh_info_guard(states):
+        return _run_with_history(states, scorer, config, max_iterations)
+
+
+def _run_with_history(states, scorer, config, max_iterations):
     history = []
     for _ in range(max_iterations):
         active = np.asarray(_active(states))
@@ -355,12 +382,13 @@ def run_search_batched(
     def body(ss):
         return batched_search_step(ss, scorer, config, in_axes=axes)
 
-    final = jax.lax.while_loop(cond, body, states)
+    with _mesh_info_guard(states):
+        final = jax.lax.while_loop(cond, body, states)
 
-    def pop_one(state):
-        rng, key = jax.random.split(state.rng)
-        state = state.replace(rng=rng)
-        return state, pop_frame_secs(state, key, config)
+        def pop_one(state):
+            rng, key = jax.random.split(state.rng)
+            state = state.replace(rng=rng)
+            return state, pop_frame_secs(state, key, config)
 
-    final, secs = jax.vmap(pop_one)(final)
+        final, secs = jax.vmap(pop_one)(final)
     return final, secs

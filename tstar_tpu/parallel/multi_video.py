@@ -147,35 +147,22 @@ def _search_bucket(
 
     max_iters = max(config.iteration_cap(nv) for nv in n_valids)
     history = None
-    # dp-only meshes keep the fused Pallas MHA (its custom_partitioning
-    # rule shards the batch axis per device); tensor-parallel meshes must
-    # trace with it off — the fused q|k|v layout is not
-    # contiguous-shard-safe (kernels/attention.py fused_mha_disabled).
-    # The kernel's batch>=8 crossover gate sees GLOBAL shapes under GSPMD,
-    # so also disable when the PER-SHARD video batch falls below it (the
-    # regime where XLA's overlap wins, scripts/ab_attention.py).
-    from tstar_tpu.kernels.attention import _MIN_FUSED_BATCH, fused_mha_disabled
-    from tstar_tpu.parallel.mesh import MODEL_AXIS
+    # Kernel gating under the mesh (fused MHA tp layout, per-shard batch
+    # crossover) is inferred automatically from the dp_put states' shardings
+    # by the batched entry points (parallel/batched._mesh_info_guard), so
+    # every caller — this one included — gates identically (r3 items 2+8;
+    # the r3 hand-rolled disable here is gone: tensor-parallel meshes now
+    # RUN the fused MHA via its grouped shard-major layout).
+    if collect_history:
+        from tstar_tpu.parallel.batched import run_search_batched_with_history
 
-    disable_fused = False
-    if mesh is not None:
-        dp = mesh.shape.get(DATA_AXIS, 1)
-        disable_fused = (
-            mesh.shape.get(MODEL_AXIS, 1) > 1
-            or len(tasks) // max(dp, 1) < _MIN_FUSED_BATCH
+        finals, secs, history = run_search_batched_with_history(
+            stacked, batched_scorer, batched_config, max_iterations=max_iters
         )
-    guard = fused_mha_disabled() if disable_fused else contextlib.nullcontext()
-    with guard:
-        if collect_history:
-            from tstar_tpu.parallel.batched import run_search_batched_with_history
-
-            finals, secs, history = run_search_batched_with_history(
-                stacked, batched_scorer, batched_config, max_iterations=max_iters
-            )
-        else:
-            finals, secs = run_search_batched_chained(
-                stacked, batched_scorer, batched_config, max_iterations=max_iters
-            )
+    else:
+        finals, secs = run_search_batched_chained(
+            stacked, batched_scorer, batched_config, max_iterations=max_iters
+        )
     secs = np.asarray(secs)
     remaining = np.asarray(finals.remaining)
     iterations = np.asarray(finals.iteration)
