@@ -182,7 +182,22 @@ def _apply_verification(
         )
         return replay(scores, remaining, vconf, vpres_t)
 
-    do_verify = do_verify_full if t_bucket >= k_frames else do_verify_bucketed
+    if t_bucket >= k_frames:
+        do_verify = do_verify_full
+    elif config.verify_adaptive:
+        # Adaptive width (VERDICT r3 item 4): the candidate count is already
+        # computed; when most sampled frames are candidates, one K-frame
+        # rescore beats ceil(n/T) small forwards (r3 measured 1007 vs 906
+        # f/s in the all-candidates corner), so pick the wide path per step.
+        # Both branches fill the candidate rows identically and the replay
+        # reads only those, so the trajectory is bit-identical either way.
+        def do_verify(args):
+            n_cand = jnp.sum(candidate.astype(jnp.int32))
+            return jax.lax.cond(
+                n_cand * 2 > k_frames, do_verify_full, do_verify_bucketed, args
+            )
+    else:
+        do_verify = do_verify_bucketed
     return jax.lax.cond(
         may_trigger, do_verify, lambda args: args, (scores, remaining)
     )

@@ -83,6 +83,18 @@ class SearchConfig:
     # K full-resolution forwards once detections are sparse/localized.
     verify_batch: Optional[int] = 4
 
+    # Adaptive verification width (ours; VERDICT r3 item 4).  The bucketed
+    # form wins when candidates are sparse, the one-shot rescore-all form
+    # wins the candidate-dense corner (r3: 1007 vs 906 f/s single-video
+    # when ALL 16 frames are candidates — small verify forwards tile worse
+    # than one big batch).  True (default): each step lax.cond-selects the
+    # wide path when candidates > K/2 — trajectory-identical either way
+    # (the replay reads only candidate rows, which both paths fill the
+    # same).  Applies to the single-video engine; the batched path keeps
+    # global bucketing unconditionally (measured better even in its worst
+    # case: work is proportional to the TOTAL candidate count there).
+    verify_adaptive: bool = True
+
     # --- fixed-shape padding (TPU: everything static) ---
     max_objects: int = 16             # targets + cues + padding prompt, padded
     max_targets: int = 8              # remaining-target mask length, padded
