@@ -39,6 +39,11 @@ from tstar_tpu.video.decoder import open_video
 
 logger = logging.getLogger(__name__)
 
+# Module-level jit: repeated searches retrace once per shape.  State and
+# scorer are ARGUMENTS (closing over the frame cache would inline it into
+# the HLO as a constant — the relay rejects those payloads).
+_run_search_jit = jax.jit(run_search, static_argnums=2)
+
 
 class KeyframeSearcher:
     def __init__(
@@ -129,14 +134,18 @@ class KeyframeSearcher:
 
     # -- search entry points ----------------------------------------------
     def search(self) -> Tuple[List[np.ndarray], List[float]]:
-        """Full search: host-dispatched chain of jitted masked steps (no
-        intermediate syncs; bit-identical to the while_loop form)."""
-        from tstar_tpu.search.engine import run_search_chained
+        """Full search in ONE device dispatch (jitted ``run_search``
+        while_loop) — bit-identical to the chained form.
 
-        final, secs = run_search_chained(
-            self._state0, self.scorer, self.config,
-            max_iterations=self.config.iteration_cap(self.cache.n_valid),
-        )
+        Routed to the while_loop driver in r4: the sparse-regime A/B
+        (scripts/ab_b1_dispatch.py, v5e through the axon relay) measured
+        the chained form dispatch-bound at B=1 — median 6.3k f/s with a
+        35% tenancy spread vs the while_loop's 9.6k at ±2% — and the
+        compute-bound worst case equal-or-better (1010 vs 999 f/s).  The
+        single dispatch deletes the per-step host round-trip, which is the
+        reference's own per-iteration overhead this framework exists to
+        remove (interface_searcher.py:444-491)."""
+        final, secs = _run_search_jit(self._state0, self.scorer, self.config)
         self._final_state = jax.device_get(final)
         self._record_final_history()
         return self._materialize(np.asarray(secs))
