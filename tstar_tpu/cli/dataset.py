@@ -40,6 +40,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--verify_image_size", type=int, default=None,
                    help="verification rescore resolution (e.g. 512); "
                         "default = detector native size")
+    p.add_argument("--max_items", type=int, default=0,
+                   help=">0: truncate the dataset to the first N items "
+                        "(the adapter already caps hub splits at 200, "
+                        "run_TStar_onDataset.py:85; this caps local JSON too)")
     p.add_argument("--collect_history", action="store_true",
                    help="batched runs: record per-iteration sampled frames + "
                         "detections per video (reference detect_bbox_iters)")
@@ -63,6 +67,8 @@ def main(argv=None):
         video_root=args.video_root,
         local_json=args.local_json,
     )
+    if args.max_items > 0:
+        dataset = dataset[: args.max_items]
     grounder = UniversalGrounder(model_name=args.grounder)
     hk = {}
     if args.checkpoint_dir:
