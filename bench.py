@@ -70,7 +70,7 @@ def main():
     )
     from tstar_tpu.parallel.batched import run_search_batched_chained
     from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
-    from tstar_tpu.search.engine import run_search_chained
+    from tstar_tpu.search.engine import run_search
     from tstar_tpu.search.state import init_state
     from tstar_tpu.utils.config import SearchConfig
     from tstar_tpu.bench.reference_style import reference_style_search
@@ -100,6 +100,11 @@ def main():
                         context=model_cfg.text.max_length)
 
     rng = np.random.default_rng(0)
+    # B=1 searches run the production driver: ONE jitted run_search
+    # while_loop dispatch (searcher.search() routing, r4) — the chained
+    # form is dispatch-bound in the sparse regime (ab_b1_dispatch.py:
+    # 6.3k +-35% vs 9.6k +-2%) and 1% slower even in the worst case.
+    run_search_jit = jax.jit(run_search, static_argnums=2)
     cache_np = rng.integers(0, 256, size=(n_pad, *cfg.cache_hw, 3), dtype=np.uint8)
     cache_np[n_valid:] = 0
     cache = jnp.asarray(cache_np)
@@ -159,7 +164,7 @@ def main():
         state = init_state(n_valid, 1, cfg1, jax.random.key(1), n_pad=n_pad)
 
         def run1():
-            final, secs = run_search_chained(state, scorer, cfg1)
+            final, secs = run_search_jit(state, scorer, cfg1)
             # NOTE: block_until_ready is unreliable through the axon relay
             # (it can return before execution completes); a host fetch of the
             # tiny result is the only trustworthy fence.
@@ -179,7 +184,7 @@ def main():
     state_all = init_state(n_valid, 1, cfg_all, jax.random.key(1), n_pad=n_pad)
 
     def run_all():
-        final, secs = run_search_chained(state_all, scorer_all, cfg_all)
+        final, secs = run_search_jit(state_all, scorer_all, cfg_all)
         np.asarray(secs)
 
     run_all()
@@ -199,7 +204,7 @@ def main():
         st = init_state(n_valid, 1, cfg2, jax.random.key(1), n_pad=n_pad)
 
         def run():
-            _, secs = run_search_chained(st, sc, cfg2)
+            _, secs = run_search_jit(st, sc, cfg2)
             np.asarray(secs)
 
         run()
@@ -305,7 +310,7 @@ def main():
     state_nv = init_state(n_valid, 1, cfg_nv, jax.random.key(1), n_pad=n_pad)
 
     def run_nv():
-        final, secs = run_search_chained(state_nv, scorer_nv, cfg_nv)
+        final, secs = run_search_jit(state_nv, scorer_nv, cfg_nv)
         np.asarray(secs)
 
     run_nv()

@@ -107,6 +107,46 @@ RANGE_CLAIMS = [
 ]
 
 
+# PERFORMANCE.md currency rule (VERDICT r3 item 7): the file is a
+# measurement archive, so its numbers are exempt from bench matching —
+# but every section that carries perf numbers must say WHICH round
+# measured them in its heading (an "rN" tag).  A number under an undated
+# heading reads as current and can silently go stale.
+_PERF_NUMBER = re.compile(
+    r"\d[\d,.]*\s*(?:f/s|frames?/s(?:ec)?|tok/s|ms\b|s/step|%\s*MFU|"
+    r"items/s)|MFU\b"
+)
+_R_TAG = re.compile(r"\br\d(?:\b|[-–])")
+
+
+def check_performance_currency():
+    path = os.path.join(REPO, "PERFORMANCE.md")
+    failures = []
+    heading, dated, hit_line = None, True, None
+    lines = open(path).read().splitlines()
+
+    def flush():
+        if heading is not None and not dated and hit_line is not None:
+            failures.append(
+                f"PERFORMANCE.md: section {heading!r} carries perf numbers "
+                f"(e.g. line {hit_line[0]}: {hit_line[1].strip()[:60]!r}) "
+                f"but its heading has no round tag (rN) — date it or move "
+                f"the numbers"
+            )
+
+    for i, line in enumerate(lines, 1):
+        if line.startswith("## ") or line.startswith("# "):
+            flush()
+            heading = line.lstrip("# ").strip()
+            dated = bool(_R_TAG.search(heading))
+            hit_line = None
+        elif heading is not None and not dated and hit_line is None:
+            if _PERF_NUMBER.search(line):
+                hit_line = (i, line)
+    flush()
+    return failures
+
+
 def latest_bench():
     paths = sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json")))
     assert paths, "no BENCH_r*.json found"
@@ -193,6 +233,7 @@ def check(verbose=True):
                 f"(accepted window {lo_eff:g}-{hi_eff:g}; widen or "
                 f"regenerate the claim)"
             )
+    failures.extend(check_performance_currency())
     return bench_path, failures
 
 
