@@ -138,6 +138,16 @@ def main():
             class_weights=jnp.stack([base_scorer.class_weights] * B),
             model=model,
             config=cfg_b,
+            # Shared grid-path weights so the batched path keeps the fused
+            # grid-embed kernel (kernels/grid_embed.py) exactly as the
+            # production stack_scorers path does.
+            grid_proj_w=base_scorer.grid_proj_w,
+            grid_proj_b=base_scorer.grid_proj_b,
+            grid_src_patch=base_scorer.grid_src_patch,
+            grid_proj_opt_in=base_scorer.grid_proj_opt_in,
+            gb_awk=base_scorer.gb_awk,
+            gb_bias=base_scorer.gb_bias,
+            gb_ah=base_scorer.gb_ah,
         )
         stacked = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),

@@ -154,6 +154,9 @@ def main():
             class_weights=jnp.stack([s.class_weights for s in scorers]),
             model=model,
             config=cfg,
+            gb_awk=scorers[0].gb_awk,
+            gb_bias=scorers[0].gb_bias,
+            gb_ah=scorers[0].gb_ah,
         )
         states = jax.tree_util.tree_map(
             lambda *xs: jnp.stack(xs),

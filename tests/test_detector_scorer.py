@@ -140,13 +140,15 @@ class TestComposedGridProjection:
         monkeypatch.setenv("TSTAR_COMPOSED_PATCH", "1")
         from tstar_tpu.search.detector_scorer import _grid_projection
 
-        w, b, src = _grid_projection(
+        w, b, src, opt_in = _grid_projection(
             scorer.model, scorer.variables, scorer.cache.shape[1:3],
             scorer.config,
         )
         assert w is not None                    # fixture geometry is aligned
+        assert opt_in
         composed = scorer.replace(
-            grid_proj_w=w, grid_proj_b=b, grid_src_patch=src
+            grid_proj_w=w, grid_proj_b=b, grid_src_patch=src,
+            grid_proj_opt_in=True,
         )
         secs = jnp.asarray(np.arange(16) * 7 % n_valid)
         conf_c, pres_c = composed.score_grid(secs)
@@ -160,8 +162,8 @@ class TestComposedGridProjection:
         scorer, _, _ = scorer_and_state
         from tstar_tpu.search.detector_scorer import _grid_projection
 
-        w, b, src = _grid_projection(
+        w, b, src, opt_in = _grid_projection(
             scorer.model, scorer.variables, scorer.cache.shape[1:3],
             scorer.config,
         )
-        assert w is None and b is None and src is None
+        assert w is None and b is None and src is None and not opt_in

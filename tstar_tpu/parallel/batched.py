@@ -32,7 +32,10 @@ _PER_VIDEO_FIELDS = {
 # Weight-shaped fields beyond ``variables`` that are shared (not stacked)
 # across the video batch.
 _SHARED_EXTRA_FIELDS = {
-    "OwlVitScorer": ("qvision", "verify_variables", "qvision_verify"),
+    "OwlVitScorer": (
+        "qvision", "verify_variables", "qvision_verify",
+        "grid_proj_w", "grid_proj_b", "gb_awk", "gb_bias", "gb_ah",
+    ),
 }
 
 

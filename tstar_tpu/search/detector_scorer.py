@@ -74,15 +74,24 @@ class OwlVitScorer:
         pytree_node=False, default=None
     )
     # Composed cache->patch-embedding projection (kernels/image.py
-    # composed_patch_projection): replaces the resize+normalize+pack+
-    # patchify pixel chain of every grid forward with one matmul from the
-    # uint8 cache.  OPT-IN via TSTAR_COMPOSED_PATCH=1 — measured e2e
-    # negative at the default geometry (see _grid_projection).
-    grid_proj_w: Optional[jax.Array] = None          # (s_h*s_w*3, D)
-    grid_proj_b: Optional[jax.Array] = None          # (D,)
+    # composed_patch_projection) — OPT-IN via TSTAR_COMPOSED_PATCH=1
+    # (``grid_proj_opt_in``), measured e2e negative at the default geometry
+    # (see _grid_projection).
+    grid_proj_w: Optional[jax.Array] = None          # (s_h, s_w*3, D)
+    grid_proj_b: Optional[jax.Array] = None          # (D,) f32
     grid_src_patch: Optional[Tuple[int, int]] = struct.field(
         pytree_node=False, default=None
     )
+    grid_proj_opt_in: bool = struct.field(pytree_node=False, default=False)
+    # Folded resize+normalize matrices for the fused grid-embed Pallas path
+    # (kernels/grid_embed.py — OPT-IN via TSTAR_GRID_EMBED=1; the r4 A/B
+    # measured it e2e neutral, post-mortem in PERFORMANCE.md): width matrix
+    # with CLIP affine + channel pad folded in, its bias row, and the
+    # height matrix (None when identity).  Small, model-independent,
+    # shared across a video batch.
+    gb_awk: Optional[jax.Array] = None               # (cw*3, cell_w*c_pad)
+    gb_bias: Optional[jax.Array] = None              # (cell_w*c_pad,)
+    gb_ah: Optional[jax.Array] = None                # (cell_h, ch) | None
 
     @property
     def num_classes(self) -> int:
@@ -155,9 +164,45 @@ class OwlVitScorer:
 
         cfg = self.config
         return grid_patch_embeddings(
-            cache, secs, self.grid_proj_w, self.grid_proj_b,
+            cache, secs,
+            self.grid_proj_w.reshape(-1, self.grid_proj_w.shape[-1]),
+            self.grid_proj_b,
             (cfg.grid_rows, cfg.grid_cols), self.grid_src_patch,
             dtype=self.model.dtype,
+        )
+
+    def _use_grid_embed_kernel(self, cache_shape) -> bool:
+        from tstar_tpu.kernels.grid_embed import use_grid_embed_kernel
+
+        if self.gb_awk is None or self.config.use_pallas_preprocess:
+            return False
+        c = self.model.cfg.vision
+        return use_grid_embed_kernel(
+            cache_shape, c.image_size, c.patch_size, c.hidden_size,
+            self.config,
+        )
+
+    def _grid_embeds_kernel(self, cache: jax.Array, secs: jax.Array):
+        """Fused cache->embedding Pallas path (kernels/grid_embed.py);
+        cache (B, N, ch, cw, 3), secs (B, K) -> (B, P, D)."""
+        from tstar_tpu.kernels.grid_embed import (
+            grid_cell_embed,
+            grid_embed_interpret,
+        )
+
+        cfg = self.config
+        c = self.model.cfg.vision
+        patch_kernel = (
+            self.variables["params"]["vision"]["patch_embedding"]["kernel"]
+        )
+        return grid_cell_embed(
+            cache, secs, self.gb_awk, self.gb_bias, self.gb_ah, patch_kernel,
+            grid_shape=(cfg.grid_rows, cfg.grid_cols),
+            cell_hw=(
+                c.image_size // cfg.grid_rows, c.image_size // cfg.grid_cols
+            ),
+            patch_size=c.patch_size,
+            interpret=grid_embed_interpret(),
         )
 
     def _score_grid_full(
@@ -166,7 +211,15 @@ class OwlVitScorer:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
-        if self.grid_proj_w is not None and not cfg.use_pallas_preprocess:
+        if self._use_grid_embed_kernel((1,) + self.cache.shape):
+            # Fused Pallas cache->embedding (single video as a B=1 batch);
+            # reaches the batch gate only under TSTAR_GRID_EMBED=force.
+            scores, class_ids, boxes = self._detect_embeds(
+                self._grid_embeds_kernel(self.cache[None], secs[None])
+            )
+        elif self.grid_proj_w is not None and self.grid_proj_opt_in and (
+            not cfg.use_pallas_preprocess
+        ):
             scores, class_ids, boxes = self._detect_embeds(
                 self._grid_embeds(self.cache, secs)
             )
@@ -254,7 +307,18 @@ class OwlVitScorer:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
-        if self.grid_proj_w is not None and not cfg.use_pallas_preprocess:
+        if self._use_grid_embed_kernel(self.cache.shape):
+            # Fused Pallas cache->embedding (OPT-IN, TSTAR_GRID_EMBED=1,
+            # per-shard image batch >= 8): the gather/resize/normalize/
+            # pack churn and the (B, S, S, 3) pixel canvas never touch
+            # HBM — measured e2e NEUTRAL at the default geometry (the
+            # preprocess stream is scheduler-hidden; kernels/grid_embed.py
+            # docstring carries the r4 post-mortem).
+            embeds = self._grid_embeds_kernel(self.cache, secs)
+            scores, class_ids, boxes = self._detect_embeds(embeds)
+        elif self.grid_proj_w is not None and self.grid_proj_opt_in and (
+            not cfg.use_pallas_preprocess
+        ):
             embeds = jax.vmap(
                 lambda cache, s: self._grid_embeds(cache, s)[0]
             )(self.cache, secs)                               # (B, P, D)
@@ -468,6 +532,7 @@ def clear_weight_view_cache() -> None:
     model/variables references they pin."""
     _WEIGHT_VIEW_CACHE.clear()
     _GRID_PROJ_CACHE.clear()
+    _GRID_MATS_CACHE.clear()
 
 
 # Composed cache->patch-embedding projections (kernels/image.py), memoized
@@ -478,7 +543,7 @@ _GRID_PROJ_CACHE: dict = {}
 
 
 def _grid_projection(model: OwlViTDetector, variables: Any, cache_hw, config):
-    """-> (proj_w, proj_b, src_patch_hw) on device, or (None, None, None).
+    """-> (proj_w, proj_b, src_patch_hw, xla_opt_in) or (None, None, None, False).
 
     OPT-IN (TSTAR_COMPOSED_PATCH=1) — a MEASURED e2e NEGATIVE as a default
     (r3, scripts/ab_composed.py, interleaved in-process): B=16 sparse
@@ -489,22 +554,28 @@ def _grid_projection(model: OwlViTDetector, variables: Any, cache_hw, config):
     patch-embedding MXU matmul straight from the uint8 cache gather —
     same lesson as the Pallas preprocess kernel (kernels/pallas_grid.py).
     Kept because the algebra (kernels/image.composed_patch_projection) is
-    parity-pinned and wins may exist at other cache/cell geometries.
+    parity-pinned and wins may exist at other cache/cell geometries.  The
+    DEFAULT fused path is the kernel-space retry that has no gather
+    operand to defeat: kernels/grid_embed.py (see _grid_kernel_mats).
+
+    ``proj_w`` is stored as (s_h, s_w*3, D) at the model dtype; the XLA
+    path flattens it back (same values — it cast at use anyway).
     """
     import os
 
-    if os.environ.get("TSTAR_COMPOSED_PATCH", "0") != "1":
-        return None, None, None
+    xla_opt_in = os.environ.get("TSTAR_COMPOSED_PATCH", "0") == "1"
+    if not xla_opt_in:
+        return None, None, None, False
     if config.use_pallas_preprocess:
-        return None, None, None
+        return None, None, None, False
     c = model.cfg.vision
     if c.image_size % config.grid_rows or c.image_size % config.grid_cols:
-        return None, None, None
+        return None, None, None, False
     cell_hw = (c.image_size // config.grid_rows, c.image_size // config.grid_cols)
     key = (id(variables), id(model), tuple(cache_hw), cell_hw)
     hit = _GRID_PROJ_CACHE.get(key)
     if hit is not None and hit[0] is variables and hit[1] is model:
-        return hit[2:]
+        return hit[2:] + (xla_opt_in and hit[2] is not None,)
 
     from tstar_tpu.kernels.image import composed_patch_projection
 
@@ -516,10 +587,70 @@ def _grid_projection(model: OwlViTDetector, variables: Any, cache_hw, config):
         out = (None, None, None)
     else:
         w, bias, src_patch = composed
-        out = (jnp.asarray(w), jnp.asarray(bias), src_patch)
+        s_h, s_w = src_patch
+        # Stored at the model's compute dtype: numerics-identical to the
+        # old f32-storage for both consumers (each cast to model dtype /
+        # bf16 at use anyway), at half the HBM for bf16 models.
+        out = (
+            jnp.asarray(w.reshape(s_h, s_w * 3, -1), dtype=model.dtype),
+            jnp.asarray(bias),
+            src_patch,
+        )
     if len(_GRID_PROJ_CACHE) >= 8:
         _GRID_PROJ_CACHE.pop(next(iter(_GRID_PROJ_CACHE)))
     _GRID_PROJ_CACHE[key] = (variables, model) + out
+    return out + (xla_opt_in and out[0] is not None,)
+
+
+# Device copies of the folded resize/normalize matrices for the fused
+# grid-embed kernel, keyed by geometry (model-independent, a few MB —
+# re-uploading per video in the batched runner would be pure waste).
+_GRID_MATS_CACHE: dict = {}
+
+
+def _grid_kernel_mats(model: OwlViTDetector, cache_hw, config):
+    """-> (gb_awk, gb_bias, gb_ah) device arrays for kernels/grid_embed.py,
+    or (None, None, None) when the path cannot apply (OPT-IN and not
+    enabled — the r4 A/B measured it e2e neutral, kernels/grid_embed.py —
+    off-TPU unless TSTAR_GRID_EMBED=interpret, or non-divisible geometry).
+    """
+    import os
+
+    env = os.environ.get("TSTAR_GRID_EMBED", "0")
+    if env == "0" or config.use_pallas_preprocess:
+        return None, None, None
+    if env != "interpret":
+        try:
+            if jax.default_backend() != "tpu":
+                return None, None, None
+        except Exception:  # noqa: BLE001 — backend not initialized yet
+            return None, None, None
+    c = model.cfg.vision
+    if c.image_size % config.grid_rows or c.image_size % config.grid_cols:
+        return None, None, None
+    if 128 % c.patch_size or 3 > 128 // c.patch_size:
+        return None, None, None
+    ch, cw = cache_hw
+    cell_h = c.image_size // config.grid_rows
+    cell_w = c.image_size // config.grid_cols
+    c_pad = 128 // c.patch_size
+    key = (ch, cw, cell_h, cell_w, c_pad)
+    hit = _GRID_MATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+
+    from tstar_tpu.kernels.grid_embed import _height_matrix, _width_affine
+
+    awk, bias = _width_affine(cw, cell_w, c_pad)
+    ah = _height_matrix(ch, cell_h)
+    out = (
+        jnp.asarray(awk),
+        jnp.asarray(bias),
+        None if ah is None else jnp.asarray(ah),
+    )
+    if len(_GRID_MATS_CACHE) >= 8:
+        _GRID_MATS_CACHE.pop(next(iter(_GRID_MATS_CACHE)))
+    _GRID_MATS_CACHE[key] = out
     return out
 
 
@@ -609,9 +740,10 @@ def make_owlvit_scorer(
     qvision, verify_model, verify_variables, qvision_verify = _weight_views(
         model, variables, config
     )
-    grid_proj_w, grid_proj_b, grid_src_patch = _grid_projection(
+    grid_proj_w, grid_proj_b, grid_src_patch, grid_proj_opt_in = _grid_projection(
         model, variables, cache.shape[1:3], config
     )
+    gb_awk, gb_bias, gb_ah = _grid_kernel_mats(model, cache.shape[1:3], config)
     return OwlVitScorer(
         cache=cache,
         variables=variables,
@@ -627,4 +759,8 @@ def make_owlvit_scorer(
         grid_proj_w=grid_proj_w,
         grid_proj_b=grid_proj_b,
         grid_src_patch=grid_src_patch,
+        grid_proj_opt_in=grid_proj_opt_in,
+        gb_awk=gb_awk,
+        gb_bias=gb_bias,
+        gb_ah=gb_ah,
     )
