@@ -46,6 +46,41 @@ def test_fused_mha_matches_dpa_bf16():
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
 
 
+@pytest.mark.parametrize("hpb", ["4", "6", "12"])
+def test_hpb_override_bit_identical(hpb, monkeypatch):
+    """TSTAR_MHA_HPB only changes program granularity: results must be
+    BIT-identical to the default 2-heads-per-program kernel."""
+    rng = np.random.default_rng(2)
+    heads = 12
+    qkv = jnp.asarray(rng.normal(size=(2, 64, 3 * heads * 64)), jnp.float32)
+    want = fused_mha_from_qkv(qkv, heads, interpret=True)
+    monkeypatch.setenv("TSTAR_MHA_HPB", hpb)
+    fused_mha_from_qkv.clear_cache()
+    try:
+        got = fused_mha_from_qkv(qkv, heads, interpret=True)
+    finally:
+        monkeypatch.delenv("TSTAR_MHA_HPB")
+        fused_mha_from_qkv.clear_cache()
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_hpb_override_invalid_values_keep_default(monkeypatch):
+    """Values that break head-count / lane-tiling divisibility are ignored."""
+    rng = np.random.default_rng(3)
+    heads = 12
+    qkv = jnp.asarray(rng.normal(size=(1, 32, 3 * heads * 64)), jnp.float32)
+    want = fused_mha_from_qkv(qkv, heads, interpret=True)
+    for bad in ("5", "24", "1"):   # 12 % 5, 12 // 24 == 0, 64 lanes % 128
+        monkeypatch.setenv("TSTAR_MHA_HPB", bad)
+        fused_mha_from_qkv.clear_cache()
+        try:
+            got = fused_mha_from_qkv(qkv, heads, interpret=True)
+        finally:
+            monkeypatch.delenv("TSTAR_MHA_HPB")
+            fused_mha_from_qkv.clear_cache()
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_gate_requires_tpu_and_no_bias():
     qkv = jnp.zeros((1, 577, 3 * 768), jnp.bfloat16)
     # CPU backend (the hermetic suite) must never route to the kernel.

@@ -213,6 +213,22 @@ def _mha_pallas(
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
     hpb = max(1, 128 // dh)                 # heads per 128-lane block
+    # TSTAR_MHA_HPB: trace-time heads-per-program override (A/B knob).
+    # More heads per program = fewer grid iterations and more head-level
+    # MXU/VPU overlap for the scheduler (head i+1's QK^T has no dependency
+    # on head i's softmax); numerics are bit-identical (same per-head math,
+    # only the program granularity changes).  Invalid values (head count /
+    # lane tiling / tp-group divisibility) silently keep the default.
+    env_hpb = os.environ.get("TSTAR_MHA_HPB")
+    if env_hpb:
+        cand = int(env_hpb)
+        if (
+            cand > 0
+            and num_heads % cand == 0
+            and (dh * cand) % 128 == 0
+            and (num_heads // cand) % groups == 0
+        ):
+            hpb = cand
     assert num_heads % hpb == 0 and (dh * hpb) % 128 == 0, (num_heads, dh)
     blocks = num_heads // hpb
     assert blocks % groups == 0, (blocks, groups)
