@@ -51,18 +51,15 @@ CLAIMS = [
     # about the ratio was structurally brittle — VERDICT r3 item 1).
     (
         "README.md",
-        r"\*\*(\d+) f/s \(int8 W8A8 encoder\)",
+        r"int8 W8A8 encoder measures (\d+) f/s",
         [(1, "extra.b1_frames_per_sec_knobs.int8", 1.0, 0.12)],
     ),
-    (
-        "README.md",
-        r"(\d+) f/s \(verification at 512",
-        [(1, "extra.b1_frames_per_sec_knobs.bf16_verify512", 1.0, 0.12)],
-    ),
-    # NOTE: B=1 sparse throughput is deliberately NOT tracked — it is
-    # dispatch-bound and tenancy-sensitive (2.5k-7.5k f/s on identical code,
-    # r3); README quotes the measured range instead of one number, and the
-    # stable batched anchors below are the enforced claims.
+    # NOTE: the verification-at-512² knob moved +17% in r4 (the adaptive
+    # verification width compounds with reduced-res verification), so it is
+    # enforced as a RANGE claim below rather than a point.
+    # NOTE: B=1 sparse throughput became trackable in r4 (the while_loop
+    # driver holds +-2% where the r3 chained driver swung 2.5-8.6k); it is
+    # enforced as a RANGE claim below (RANGE_CLAIMS) rather than a point.
     (
         "README.md",
         r"~([\d.]+)k frames/sec at batch 8",
@@ -75,7 +72,7 @@ CLAIMS = [
     ),
     (
         "README.md",
-        r"\((\d+) vs (\d+) f/s: rescore-all-16\s+beats bucketed-4",
+        r"\((\d+) rescore-all vs (\d+) adaptive default",
         [
             (1, "extra.b1_frames_per_sec_rescore_all", 1.0, 0.12),
             (2, "extra.frames_per_sec_by_batch.1", 1.0, 0.12),
@@ -96,13 +93,27 @@ CLAIMS = [
 # bench value must fall inside it (with a small slack factor on each bound,
 # since a new round can legitimately land just outside a historical range
 # without the claim's substance being wrong).
-# (file, regex with two capture groups lo/hi, bench_path, slack)
+# (file, regex with two capture groups lo/hi, bench_path, slack[, scale])
 RANGE_CLAIMS = [
     (
         "README.md",
         r"([\d.]+)[–-]([\d.]+)× the reference\s+architecture",
         "vs_baseline",
         0.25,
+    ),
+    (
+        "README.md",
+        r"([\d.]+)[–-]([\d.]+)k f/s \(single-video sparse\)",
+        "extra.b1_frames_per_sec_no_verify",
+        0.25,
+        1e3,
+    ),
+    (
+        "README.md",
+        r"([\d.]+)[–-]([\d.]+)k f/s \(verification at 512",
+        "extra.b1_frames_per_sec_knobs.bf16_verify512",
+        0.25,
+        1e3,
     ),
 ]
 
@@ -200,7 +211,8 @@ def check(verbose=True):
                     f"{fname}: claims {claimed:g} but {os.path.basename(bench_path)} "
                     f"{bpath} = {actual:g} ({100*rel:.0f}% drift > {100*tol:.0f}%)"
                 )
-    for fname, pattern, bpath, slack in RANGE_CLAIMS:
+    for fname, pattern, bpath, slack, *rest in RANGE_CLAIMS:
+        scale = rest[0] if rest else 1.0
         text = open(os.path.join(REPO, fname)).read()
         m = re.search(pattern, text)
         if not m:
@@ -209,7 +221,7 @@ def check(verbose=True):
                 f"(reworded or deleted? update scripts/check_doc_claims.py)"
             )
             continue
-        lo, hi = float(m.group(1)), float(m.group(2))
+        lo, hi = float(m.group(1)) * scale, float(m.group(2)) * scale
         if lo > hi:
             failures.append(f"{fname}: range claim bounds inverted: {lo}-{hi}")
             continue
