@@ -115,7 +115,11 @@ def main():
                 t0 = time.perf_counter()
                 runner()
                 dt = time.perf_counter() - t0
-                results[h].append(B * frames_scored / dt)
+                fps = B * frames_scored / dt
+                results[h].append(fps)
+                # incremental: a crashed later arm (e.g. a VMEM-OOM hpb)
+                # must not lose the completed measurements
+                print(f"  rep{rep} B={B} hpb={h}: {fps:.1f}", flush=True)
         os.environ.pop("TSTAR_MHA_HPB", None)
         for h, fps in results.items():
             print(f"B={B} {args.mode} hpb={h}: "

@@ -212,22 +212,48 @@ def _mha_pallas(
     d = three_d // 3
     dh = d // num_heads
     scale = 1.0 / (dh ** 0.5)
-    hpb = max(1, 128 // dh)                 # heads per 128-lane block
-    # TSTAR_MHA_HPB: trace-time heads-per-program override (A/B knob).
-    # More heads per program = fewer grid iterations and more head-level
-    # MXU/VPU overlap for the scheduler (head i+1's QK^T has no dependency
-    # on head i's softmax); numerics are bit-identical (same per-head math,
-    # only the program granularity changes).  Invalid values (head count /
-    # lane tiling / tp-group divisibility) silently keep the default.
-    env_hpb = os.environ.get("TSTAR_MHA_HPB")
-    if env_hpb:
-        cand = int(env_hpb)
-        if (
+
+    def vmem_est(cand: int) -> int:
+        # Conservative per-program VMEM stack estimate: double-buffered
+        # q/k/v in-blocks + out-blocks plus the f32 logits / bf16 probs
+        # tiles, times 2 for compiler slack — calibrated against the one
+        # measured OOM (hpb=12 at S=577: estimate 9.3 MB, Mosaic stack
+        # 18.41 MB > the 16 MB scoped limit).
+        lanes = dh * cand
+        s8 = -(-s // 8) * 8
+        sl = -(-s // 128) * 128
+        io = 8 * (s * lanes * 2)            # (3 in x2 + out x2) bf16
+        tile = s8 * sl * 6                  # f32 logits + bf16 probs
+        return 2 * (io + tile)
+
+    def valid(cand: int) -> bool:
+        return (
             cand > 0
             and num_heads % cand == 0
             and (dh * cand) % 128 == 0
             and (num_heads // cand) % groups == 0
-        ):
+        )
+
+    base = max(1, 128 // dh)                # heads per 128-lane block
+    # Default heads-per-program: TWO 128-lane blocks when they fit — the r4
+    # interleaved sweep (scripts/ab_mha_hpb.py, B=16 sparse) measured
+    # hpb=4 at +2.2% over hpb=2 (15,837 vs 15,497 f/s median; hpb=6
+    # +1.8%): more heads per program let Mosaic overlap head i+1's QK^T
+    # with head i's VPU softmax and halve the grid-switch count.  Falls
+    # back to one block when head count / tp-group divisibility or the
+    # VMEM estimate say no (e.g. 12-head tp=2 meshes: blocks must divide
+    # groups).
+    hpb = base
+    if valid(2 * base) and vmem_est(2 * base) <= 14 * 1024 * 1024:
+        hpb = 2 * base
+    # TSTAR_MHA_HPB: trace-time heads-per-program override (A/B knob).
+    # Numerics are bit-identical (same per-head math, only the program
+    # granularity changes).  Invalid values (head count / lane tiling /
+    # tp-group divisibility / VMEM estimate) silently keep the default.
+    env_hpb = os.environ.get("TSTAR_MHA_HPB")
+    if env_hpb:
+        cand = int(env_hpb)
+        if valid(cand) and vmem_est(cand) <= 14 * 1024 * 1024:
             hpb = cand
     assert num_heads % hpb == 0 and (dh * hpb) % 128 == 0, (num_heads, dh)
     blocks = num_heads // hpb
