@@ -79,10 +79,11 @@ def main():
     # confidence_threshold 2.0: verification can never remove a target, so
     # every pipeline deterministically runs the full budget (1000 frames ->
     # 63 iterations of 16) and every batched step stays active.
-    # verify_batch=4 is the production default and measured FASTER even in
-    # this all-candidates worst case (870 vs ~660 f/s: 4x4-frame verify
-    # forwards tile better than one 16-frame batch); the r1-comparable
-    # rescore-all figure is recorded in extra["b1_frames_per_sec_rescore_all"].
+    # verify_batch rides the production default (8 since r4: 8-image verify
+    # forwards clear the fused-MHA batch gate — batched worst case 1081 vs
+    # 1006 f/s at width 4, scripts/ab_verify_width_batched.py); the
+    # r1-comparable rescore-all figure is recorded in
+    # extra["b1_frames_per_sec_rescore_all"].
     cfg = SearchConfig(search_budget=1.0, confidence_threshold=2.0)
     n_pad = cfg.padded_frames(n_valid)
     iters = cfg.iteration_cap(n_valid)
@@ -306,13 +307,12 @@ def main():
     # detector_threshold 10 empties the keep mask -> no presence -> the
     # verify branch is skipped: pure grid-scoring throughput (the realistic
     # regime with real weights on frames without the target).
-    # verify_batch=4 here is the PRODUCTION default and it matters doubly in
-    # the batched path: vmap turns lax.cond into a select (both branches
-    # execute), so the rescore-all form pays full verification even when
-    # nothing triggers — the bucketed form's while_loop runs zero rounds.
+    # verify_batch rides the production default; a finite width matters
+    # doubly in the batched path: vmap turns lax.cond into a select (both
+    # branches execute), so the rescore-all form pays full verification even
+    # when nothing triggers — the bucketed form's while_loop runs zero rounds.
     cfg_nv = dataclasses.replace(
         cfg, detector_threshold=10.0, use_pallas_preprocess=False,
-        verify_batch=4,
     )
     scorer_nv = make_owlvit_scorer(
         model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg_nv

@@ -28,7 +28,9 @@ def main():
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--mode", choices=("sparse", "worst"), default="sparse")
     ap.add_argument("--hpbs", default="2,4,6,12",
-                    help="heads-per-program values to interleave")
+                    help="env values to interleave")
+    ap.add_argument("--env_var", default="TSTAR_MHA_HPB",
+                    help="trace-time env var to sweep (e.g. TSTAR_MHA_P16)")
     args = ap.parse_args()
 
     import jax
@@ -109,7 +111,7 @@ def main():
         runner = run_b(B)
         for rep in range(args.reps):
             for h in hpbs:
-                os.environ["TSTAR_MHA_HPB"] = h
+                os.environ[args.env_var] = h
                 clear()
                 runner()  # compile (env read at trace time)
                 t0 = time.perf_counter()
@@ -119,10 +121,11 @@ def main():
                 results[h].append(fps)
                 # incremental: a crashed later arm (e.g. a VMEM-OOM hpb)
                 # must not lose the completed measurements
-                print(f"  rep{rep} B={B} hpb={h}: {fps:.1f}", flush=True)
-        os.environ.pop("TSTAR_MHA_HPB", None)
+                print(f"  rep{rep} B={B} {args.env_var}={h}: {fps:.1f}",
+                      flush=True)
+        os.environ.pop(args.env_var, None)
         for h, fps in results.items():
-            print(f"B={B} {args.mode} hpb={h}: "
+            print(f"B={B} {args.mode} {args.env_var}={h}: "
                   f"{[round(f, 1) for f in fps]} best={max(fps):.1f}",
                   flush=True)
 

@@ -64,6 +64,34 @@ def test_hpb_override_bit_identical(hpb, monkeypatch):
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
 
 
+def test_p16_probs_matches_dpa_bf16(monkeypatch):
+    """TSTAR_MHA_P16 (bf16 probs + bf16-derived row sum) stays in the bf16
+    approximation class of the default kernel."""
+    rng = np.random.default_rng(4)
+    qkv = jnp.asarray(rng.normal(size=(2, 80, 3 * 4 * 64)), jnp.bfloat16)
+    monkeypatch.setenv("TSTAR_MHA_P16", "1")
+    fused_mha_from_qkv.clear_cache()
+    try:
+        got = fused_mha_from_qkv(qkv, 4, interpret=True).astype(jnp.float32)
+    finally:
+        monkeypatch.delenv("TSTAR_MHA_P16")
+        fused_mha_from_qkv.clear_cache()
+    want = _reference(qkv.astype(jnp.float32), 4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+    # f32 inputs: the knob must be a no-op (gated to bf16 towers).
+    qkv32 = jnp.asarray(rng.normal(size=(1, 64, 3 * 2 * 64)), jnp.float32)
+    monkeypatch.setenv("TSTAR_MHA_P16", "1")
+    fused_mha_from_qkv.clear_cache()
+    try:
+        got32 = fused_mha_from_qkv(qkv32, 2, interpret=True)
+    finally:
+        monkeypatch.delenv("TSTAR_MHA_P16")
+        fused_mha_from_qkv.clear_cache()
+    np.testing.assert_array_equal(
+        np.asarray(got32), np.asarray(fused_mha_from_qkv(qkv32, 2, interpret=True))
+    )
+
+
 def test_hpb_override_invalid_values_keep_default(monkeypatch):
     """Values that break head-count / lane-tiling divisibility are ignored."""
     rng = np.random.default_rng(3)

@@ -160,7 +160,10 @@ def _pad_to(n: int, multiple: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int, hpb: int):
+def _mha_kernel(
+    q_ref, k_ref, v_ref, o_ref, *,
+    scale: float, dh: int, hpb: int, p16: bool = False,
+):
     # hpb heads share a 128-lane block (Mosaic requires lane-dim blocks in
     # multiples of 128; Dh=64 -> 2 heads per program, statically sliced).
     #
@@ -184,10 +187,22 @@ def _mha_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, dh: int, hpb: int):
             preferred_element_type=jnp.float32,
         ) * (scale * log2e)                             # (S, S) f32, log2 dom
         m = jnp.max(logits, axis=-1, keepdims=True)
-        p = jnp.exp2(logits - m)                        # unnormalized probs
-        s = jnp.sum(p, axis=-1, keepdims=True)          # (S, 1) f32
+        if p16:
+            # TSTAR_MHA_P16 (bf16 towers only): round the unnormalized
+            # probs to bf16 in the exp2 expression and take the row sum
+            # from the SAME bf16 values the AV matmul consumes — drops
+            # the separate f32->bf16 cast pass over the (S, S) tile and
+            # halves its write/read bytes.  The deferred-norm denominator
+            # then matches the rounded probs exactly (self-consistent);
+            # vs the f32-sum form the outputs differ at the bf16 level.
+            p = jnp.exp2(logits - m).astype(jnp.bfloat16)
+            s = jnp.sum(p.astype(jnp.float32), axis=-1, keepdims=True)
+        else:
+            p = jnp.exp2(logits - m)                    # unnormalized probs
+            s = jnp.sum(p, axis=-1, keepdims=True)      # (S, 1) f32
+            p = p.astype(q.dtype)
         acc = jax.lax.dot_general(
-            p.astype(q.dtype), v_ref[0][:, i * dh:(i + 1) * dh],
+            p, v_ref[0][:, i * dh:(i + 1) * dh],
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )                                               # (S, Dh) f32
@@ -255,6 +270,12 @@ def _mha_pallas(
         cand = int(env_hpb)
         if valid(cand) and vmem_est(cand) <= 14 * 1024 * 1024:
             hpb = cand
+    # TSTAR_MHA_P16=1 (opt-in, bf16 towers): bf16 probs + bf16-derived row
+    # sum — see _mha_kernel.
+    p16 = (
+        os.environ.get("TSTAR_MHA_P16", "0") == "1"
+        and qkv.dtype == jnp.bfloat16
+    )
     assert num_heads % hpb == 0 and (dh * hpb) % 128 == 0, (num_heads, dh)
     blocks = num_heads // hpb
     assert blocks % groups == 0, (blocks, groups)
@@ -271,7 +292,7 @@ def _mha_pallas(
         return pl.BlockSpec((1, s, dh * hpb), index)
 
     return pl.pallas_call(
-        functools.partial(_mha_kernel, scale=scale, dh=dh, hpb=hpb),
+        functools.partial(_mha_kernel, scale=scale, dh=dh, hpb=hpb, p16=p16),
         grid=(b, blocks),
         in_specs=[head_block(0), head_block(1), head_block(2)],
         out_specs=pl.BlockSpec((1, s, dh * hpb), lambda bi, hi: (bi, 0, hi)),

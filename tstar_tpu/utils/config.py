@@ -81,7 +81,13 @@ class SearchConfig:
     # triggers (reference-shaped worst case).  A small int T rescores only
     # the candidate frames, T at a time — typically 1 round of T instead of
     # K full-resolution forwards once detections are sparse/localized.
-    verify_batch: Optional[int] = 4
+    # Default 8 (r4, scripts/ab_verify_width_batched.py): 8-image verify
+    # forwards clear the fused-MHA batch>=8 gate that width 4 left off and
+    # halve the bucket-loop rounds — batched worst case 1,081 vs 1,006 (w4)
+    # vs 1,021 (w16) f/s at B=8, every rep, while staying near
+    # work-proportional (overshoot <=7 frames per verify event vs w4's <=3;
+    # for 5<=candidates<=8 width 8 does EQUAL work in fewer rounds).
+    verify_batch: Optional[int] = 8
 
     # Adaptive verification width (ours; VERDICT r3 item 4).  The bucketed
     # form wins when candidates are sparse, the one-shot rescore-all form
