@@ -24,6 +24,7 @@ Conventions:
 
 import glob
 import json
+import math
 import os
 import re
 import sys
@@ -166,6 +167,15 @@ def latest_bench():
     return paths[-1], data.get("parsed", data)
 
 
+def all_benches():
+    out = []
+    for p in sorted(glob.glob(os.path.join(REPO, "BENCH_r*.json"))):
+        with open(p) as f:
+            data = json.load(f)
+        out.append((p, data.get("parsed", data)))
+    return out
+
+
 def resolve(bench, path):
     cur = bench
     for part in path.split("."):
@@ -249,7 +259,112 @@ def check(verbose=True):
     return bench_path, failures
 
 
+# ---------------------------------------------------------------------------
+# Claim REGENERATION (VERDICT r4 item 1): the ranges are not hand-picked —
+# they are derived from the measured data at artifact-write time, so any
+# bench artifact with the same measurement spread keeps both check() and the
+# 2x-swing robustness test green.  Run after every bench round:
+#
+#     python scripts/check_doc_claims.py --regen
+# ---------------------------------------------------------------------------
+
+
+def size_vs_baseline_range(value, repeats):
+    """Bracket for the vs-baseline ratio claim, derived from the measured
+    per-repeat spread of the host-loop baseline.
+
+    ratio_i = headline_value / baseline_repeat_i; the claim is
+    [floor(min_i/2), ceil(max_i*2)] — sized so a 2x tenancy swing of the
+    baseline in either direction stays inside the checker's slack window
+    while an 8x outlier still trips it (tests/test_doc_claims.py).
+    """
+    ratios = [value / r for r in repeats]
+    lo = max(1, math.floor(min(ratios) / 2.0))
+    hi = math.ceil(max(ratios) * 2.0)
+    return lo, hi
+
+
+def _range_bounds(bpath, bench):
+    """Regeneration policy per range claim (bounds in bench units)."""
+    if bpath == "vs_baseline":
+        extra = bench["extra"]
+        return size_vs_baseline_range(
+            float(bench["value"]), [float(r) for r in extra["reference_style_fps_repeats"]]
+        )
+    if bpath == "extra.b1_frames_per_sec_no_verify":
+        # single-dispatch while_loop driver: +-2% observed across repeats;
+        # +-7.5% written to guard round-to-round tenancy drift.
+        v = resolve(bench, bpath)
+        return v * 0.925, v * 1.075
+    if bpath == "extra.b1_frames_per_sec_knobs.bf16_verify512":
+        # historical min/max across every bench round that measured it.
+        vals = []
+        for _, b in all_benches():
+            try:
+                vals.append(resolve(b, bpath))
+            except (KeyError, TypeError):
+                pass
+        return min(vals) * 0.92, max(vals) * 1.08
+    raise KeyError(f"no regeneration policy for range claim {bpath}")
+
+
+def _fmt_like(old, new_val):
+    dec = len(old.split(".")[1]) if "." in old else 0
+    return f"{new_val:.{dec}f}"
+
+
+def regenerate(write=True, verbose=True):
+    """Rewrite every tracked README claim from the latest bench artifact."""
+    bench_path, bench = latest_bench()
+    texts = {}
+
+    def load(fname):
+        if fname not in texts:
+            texts[fname] = open(os.path.join(REPO, fname)).read()
+        return texts[fname]
+
+    def splice(fname, span, new):
+        t = texts[fname]
+        texts[fname] = t[: span[0]] + new + t[span[1] :]
+
+    for fname, pattern, groups in CLAIMS:
+        m = re.search(pattern, load(fname))
+        if not m:
+            raise SystemExit(f"regen: claim regex lost: {pattern!r} in {fname}")
+        # splice right-to-left so earlier spans stay valid
+        for gi, bpath, scale, _tol in sorted(groups, reverse=True):
+            new = _fmt_like(m.group(gi), resolve(bench, bpath) / scale)
+            if verbose and new != m.group(gi):
+                print(f"regen {fname}: {m.group(gi)} -> {new}  ({bpath})")
+            splice(fname, m.span(gi), new)
+    for fname, pattern, bpath, _slack, *rest in RANGE_CLAIMS:
+        scale = rest[0] if rest else 1.0
+        m = re.search(pattern, load(fname))
+        if not m:
+            raise SystemExit(f"regen: range regex lost: {pattern!r} in {fname}")
+        lo, hi = _range_bounds(bpath, bench)
+        lo_s, hi_s = _fmt_like(m.group(1), lo / scale), _fmt_like(m.group(2), hi / scale)
+        if verbose and (lo_s, hi_s) != (m.group(1), m.group(2)):
+            print(f"regen {fname}: {m.group(1)}-{m.group(2)} -> {lo_s}-{hi_s}  ({bpath})")
+        splice(fname, m.span(2), hi_s)
+        splice(fname, m.span(1), lo_s)
+    # the "round-N run" provenance note tracks the artifact that sized the claims
+    rn = re.search(r"BENCH_r0*(\d+)\.json", os.path.basename(bench_path))
+    if rn:
+        texts["README.md"] = re.sub(
+            r"round-\d+ run", f"round-{rn.group(1)} run", load("README.md"), count=1
+        )
+    if write:
+        for fname, t in texts.items():
+            with open(os.path.join(REPO, fname), "w") as f:
+                f.write(t)
+    return texts
+
+
 def main():
+    if "--regen" in sys.argv:
+        regenerate()
+        print("\nregenerated; re-checking:")
     bench_path, failures = check()
     if failures:
         print(f"\nDOC DRIFT vs {os.path.basename(bench_path)}:")

@@ -59,6 +59,46 @@ def test_range_claim_robust_to_2x_baseline_swing():
     assert fails_with(current / 8), "range claim failed to catch 1/8 outlier"
 
 
+def test_range_sizing_invariants():
+    """VERDICT r4 item 1: the vs-baseline range is DERIVED from the measured
+    repeat spread (scripts/check_doc_claims.py size_vs_baseline_range), not
+    hand-picked.  For the real r4 spread and for synthetic spreads up to a
+    3x baseline wobble, the derived bracket must (a) contain the ratio, (b)
+    survive a 2x swing in either direction inside the checker's 0.25 slack,
+    and (c) still reject an 8x outlier."""
+    mod = _load_checker()
+    _, bench = mod.latest_bench()
+    cases = [
+        (float(bench["value"]), [float(r) for r in bench["extra"]["reference_style_fps_repeats"]]),
+        (1000.0, [40.0, 45.0, 50.0]),        # tight spread
+        (1000.0, [20.0, 35.0, 60.0]),        # 3x wobble
+        (500.0, [50.0]),                     # single repeat
+    ]
+    slack = 0.25
+    for value, repeats in cases:
+        lo, hi = mod.size_vs_baseline_range(value, repeats)
+        median = sorted(repeats)[len(repeats) // 2]
+        ratio = value / median
+        lo_eff, hi_eff = lo * (1 - slack), hi * (1 + slack)
+        assert lo_eff <= ratio <= hi_eff, (value, repeats, lo, hi)
+        assert ratio * 2 <= hi_eff, f"2x swing up escapes: {(lo, hi, ratio)}"
+        assert lo_eff <= ratio / 2, f"2x swing down escapes: {(lo, hi, ratio)}"
+        assert ratio * 8 > hi_eff, f"8x outlier accepted: {(lo, hi, ratio)}"
+        assert ratio / 8 < lo_eff, f"1/8 outlier accepted: {(lo, hi, ratio)}"
+
+
+def test_regeneration_is_fixed_point():
+    """Running the claim regenerator against the committed docs must be a
+    no-op: the in-tree claims ARE what the latest bench artifact derives.
+    (This is what keeps a future round from committing hand-edited numbers
+    that drift from the artifact.)"""
+    mod = _load_checker()
+    texts = mod.regenerate(write=False, verbose=False)
+    for fname, new in texts.items():
+        old = open(os.path.join(REPO, fname)).read()
+        assert new == old, f"{fname} claims are not regeneration-stable"
+
+
 def test_coverage_carries_no_raw_perf_numbers():
     """COVERAGE.md must point at BENCH_r*.json/README, not carry copies of
     bench numbers that can go stale (the r1/r2 drift incidents both lived

@@ -158,3 +158,69 @@ class TestGroundingParsing:
             parse_grounding_response("just one line")
         with pytest.raises(GroundingParseError):
             parse_grounding_response("a\nb\nc")
+
+
+class _ScriptedBackend:
+    """Mocked transport: returns canned responses in order, records queries."""
+
+    def __init__(self, responses):
+        self.responses = list(responses)
+        self.queries = []
+
+    def inference_with_frames(self, query, frames, **kw):
+        self.queries.append(query)
+        return self.responses.pop(0)
+
+
+class TestGroundingParseRetry:
+    """Bounded re-prompt on malformed grounding output (SURVEY §5.3; the
+    reference crashes the item on the first bad response,
+    interface_grounding.py:393-395)."""
+
+    def test_retry_recovers_and_appends_format_reminder(self, scene):
+        from tstar_tpu.grounding.prompts import REPROMPT_SUFFIX
+        from tstar_tpu.grounding.universal import UniversalGrounder
+
+        path, _ = scene
+        be = _ScriptedBackend(["I think the answer is couch", "couch\ntv, chair"])
+        g = UniversalGrounder(backend=be, parse_retries=1)
+        targets, cues = g.inference_query_grounding(path, "q?")
+        assert targets == ["couch"] and cues == ["tv", "chair"]
+        assert len(be.queries) == 2
+        assert be.queries[1].endswith(REPROMPT_SUFFIX)
+        assert not be.queries[0].endswith(REPROMPT_SUFFIX)
+
+    def test_retry_budget_exhausted_raises(self, scene):
+        from tstar_tpu.grounding.universal import UniversalGrounder
+
+        path, _ = scene
+        be = _ScriptedBackend(["bad", "still bad"])
+        g = UniversalGrounder(backend=be, parse_retries=1)
+        with pytest.raises(GroundingParseError):
+            g.inference_query_grounding(path, "q?")
+        assert len(be.queries) == 2
+
+    def test_zero_retries_is_reference_behavior(self, scene):
+        from tstar_tpu.grounding.universal import UniversalGrounder
+
+        path, _ = scene
+        be = _ScriptedBackend(["bad"])
+        g = UniversalGrounder(backend=be, parse_retries=0)
+        with pytest.raises(GroundingParseError):
+            g.inference_query_grounding(path, "q?")
+        assert len(be.queries) == 1
+
+    def test_batch_path_retries_per_item(self, scene):
+        from tstar_tpu.grounding.universal import UniversalGrounder
+
+        path, _ = scene
+        # serial order: item0 initial (malformed), item1 initial, item0 retry
+        be = _ScriptedBackend(["malformed", "sofa, lamp\nrug", "couch\ntv"])
+        g = UniversalGrounder(backend=be, parse_retries=1)
+        out = g.inference_query_grounding_batch([
+            {"video_path": path, "question": "q1?"},
+            {"video_path": path, "question": "q2?"},
+        ])
+        assert out[0] == (["couch"], ["tv"])
+        assert out[1] == (["sofa", "lamp"], ["rug"])
+        assert len(be.queries) == 3  # item 0 retried once, item 1 clean

@@ -61,6 +61,17 @@ def normalize_object_name(obj: str) -> str:
     return obj.strip()
 
 
+# Appended to the grounding prompt on a bounded re-prompt after a parse
+# failure (SURVEY §5.3 "bounded retries for API/VLM calls"; the reference
+# crashes the item on the first malformed response,
+# interface_grounding.py:393-395).
+REPROMPT_SUFFIX = (
+    "\n\nAnswer in exactly two lines: the key objects on the first line and "
+    "the cue objects on the second line, each separated by commas. Do not "
+    "include any other text."
+)
+
+
 def parse_grounding_response(response: str) -> Tuple[List[str], List[str]]:
     """Strict 2-line parse: line 1 targets, line 2 cues (:393-399)."""
     lines = [line.strip() for line in response.split("\n") if line.strip()]

@@ -15,6 +15,8 @@ from typing import List, Optional, Tuple
 
 from tstar_tpu.grounding.fake import FakeVLM
 from tstar_tpu.grounding.prompts import (
+    REPROMPT_SUFFIX,
+    GroundingParseError,
     build_grounding_prompt,
     build_open_qa_prompt,
     build_qa_prompt,
@@ -33,9 +35,14 @@ class UniversalGrounder:
         api_key: Optional[str] = None,
         num_frames: int = 8,
         backend=None,
+        parse_retries: int = 1,
     ):
         self.model_name = model_name
         self.num_frames = num_frames
+        # Bounded re-prompt budget on a malformed grounding response
+        # (SURVEY §5.3).  0 restores the reference's crash-on-first-failure
+        # behavior (interface_grounding.py:393-395).
+        self.parse_retries = max(0, int(parse_retries))
         if backend is not None:
             self.backend = backend
         else:
@@ -76,7 +83,30 @@ class UniversalGrounder:
         response = self.backend.inference_with_frames(
             query=prompt, frames=frames, temperature=temperature, max_tokens=max_tokens
         )
-        return parse_grounding_response(response)
+        return self._parse_with_retry(
+            response, prompt, frames, temperature, max_tokens
+        )
+
+    def _parse_with_retry(self, response, prompt, frames, temperature, max_tokens):
+        """Parse a grounding response, re-prompting up to ``parse_retries``
+        times with an explicit two-line format reminder on a malformed
+        response (SURVEY §5.3; the reference crashes the item immediately,
+        interface_grounding.py:393-395)."""
+        for attempt in range(self.parse_retries + 1):
+            try:
+                return parse_grounding_response(response)
+            except GroundingParseError:
+                if attempt == self.parse_retries:
+                    raise
+                logger.warning(
+                    "grounding parse failed (attempt %d/%d); re-prompting "
+                    "with an explicit format reminder",
+                    attempt + 1, self.parse_retries + 1,
+                )
+                response = self.backend.inference_with_frames(
+                    query=prompt + REPROMPT_SUFFIX, frames=frames,
+                    temperature=temperature, max_tokens=max_tokens,
+                )
 
     def inference_query_grounding_batch(
         self,
@@ -136,7 +166,10 @@ class UniversalGrounder:
                 results.append(errors[i])
                 continue
             try:
-                results.append(parse_grounding_response(responses[i]))
+                results.append(self._parse_with_retry(
+                    responses[i], prompts[i], frames_list[i],
+                    temperature, max_tokens,
+                ))
             except Exception as e:  # noqa: BLE001 — strict 2-line parse
                 results.append(e)
         return results

@@ -232,8 +232,9 @@ def _mha_pallas(
         # Conservative per-program VMEM stack estimate: double-buffered
         # q/k/v in-blocks + out-blocks plus the f32 logits / bf16 probs
         # tiles, times 2 for compiler slack — calibrated against the one
-        # measured OOM (hpb=12 at S=577: estimate 9.3 MB, Mosaic stack
-        # 18.41 MB > the 16 MB scoped limit).
+        # measured OOM (hpb=12 at S=577: io+tile = 9.3 MB pre-slack, 18.7 MB
+        # after the 2x factor, vs Mosaic's actual 18.41 MB stack > the
+        # 16 MB scoped limit — the 2x slack is what makes the guard trip).
         lanes = dh * cand
         s8 = -(-s // 8) * 8
         sl = -(-s // 128) * 128
@@ -267,7 +268,10 @@ def _mha_pallas(
     # tp-group divisibility / VMEM estimate) silently keep the default.
     env_hpb = os.environ.get("TSTAR_MHA_HPB")
     if env_hpb:
-        cand = int(env_hpb)
+        try:
+            cand = int(env_hpb)
+        except ValueError:
+            cand = 0                    # non-numeric: keep the default
         if valid(cand) and vmem_est(cand) <= 14 * 1024 * 1024:
             hpb = cand
     # TSTAR_MHA_P16=1 (opt-in, bf16 towers): bf16 probs + bf16-derived row

@@ -375,8 +375,6 @@ def use_grid_embed_kernel(
     c_pad = 128 // p
     if ch % 32 or (cw * c3) % 128 or (cell_w * c_pad) % 128 or d % 128:
         return False
-    if cell_h % p:
-        return False                    # in-kernel patchify needs exact rows
     if p * 128 * d * 2 > 7 * 1024 * 1024:   # patch weight stays VMEM-resident
         return False
     # One program's VMEM: gridded frame block (x2 double-buffer), the
