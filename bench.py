@@ -19,8 +19,7 @@ which is why batching does not raise throughput further — see
 extra["mfu_b1_with_verification"].  extra also reports the
 detection-sparse ablation (verification never triggers: the realistic
 regime with real weights when the target is absent), per-batch-size
-frames/s/chip, the Pallas-vs-XLA preprocess delta at B=1 (XLA wins; see
-detector_scorer.resolve_pallas_preprocess), and the opt-in TPU perf knobs
+frames/s/chip, and the opt-in TPU perf knobs
 (int8 W8A8 encoder, reduced-resolution verification) in
 extra["b1_frames_per_sec_knobs"] — the headline value deliberately stays
 the reference-semantics default configuration.
@@ -163,28 +162,27 @@ def main():
 
     extra = {}
 
-    # ---- B=1: single-video engine, Pallas (auto) vs XLA preprocess ----
-    b1 = {}
-    for label, pallas in (("pallas", True), ("xla", False)):
-        cfg1 = dataclasses.replace(cfg, use_pallas_preprocess=pallas)
-        if pallas and jax.default_backend() != "tpu":
-            continue
-        scorer = make_owlvit_scorer(
-            model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg1
-        )
-        state = init_state(n_valid, 1, cfg1, jax.random.key(1), n_pad=n_pad)
+    # ---- B=1: single-video engine at the production default (XLA
+    # preprocess; the Pallas grid-preprocess variant has been default-off
+    # and measured-losing since r2 — its A/B lives in
+    # scripts/ab_preprocess.py and the post-mortem in PERFORMANCE.md, so
+    # the bench artifact no longer re-measures it every round) ----
+    cfg1 = dataclasses.replace(cfg, use_pallas_preprocess=False)
+    scorer = make_owlvit_scorer(
+        model, variables, cache, ["target"], ["cue one", "cue two"], tok, cfg1
+    )
+    state = init_state(n_valid, 1, cfg1, jax.random.key(1), n_pad=n_pad)
 
-        def run1():
-            final, secs = run_search_jit(state, scorer, cfg1)
-            # NOTE: block_until_ready is unreliable through the axon relay
-            # (it can return before execution completes); a host fetch of the
-            # tiny result is the only trustworthy fence.
-            np.asarray(secs)
+    def run1():
+        final, secs = run_search_jit(state, scorer, cfg1)
+        # NOTE: block_until_ready is unreliable through the axon relay
+        # (it can return before execution completes); a host fetch of the
+        # tiny result is the only trustworthy fence.
+        np.asarray(secs)
 
-        run1()  # compile
-        b1[label] = frames_scored / time_best_of(run1)
-    extra["b1_frames_per_sec"] = {k: round(v, 2) for k, v in b1.items()}
-    ours_b1 = max(b1.values())
+    run1()  # compile
+    ours_b1 = frames_scored / time_best_of(run1)
+    extra["b1_frames_per_sec"] = round(ours_b1, 2)
 
     # r1-comparable rescore-all-K verification form
     cfg_all = dataclasses.replace(cfg, verify_batch=None,

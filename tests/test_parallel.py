@@ -436,6 +436,129 @@ class TestShardedExecution:
         # outside the guard the same shape fuses
         assert real_plan(8, 577, 3 * 768, 12, None) == 1
 
+    def test_real_dims_dp_tp_lowering_gate(self, monkeypatch):
+        """VERDICT r4 item 7: abstract-lower AND compile the batched search
+        step at owlvit-base-patch32 REAL dims (12 heads / 768 hidden / S=577)
+        under a dp=4 x tp=2 mesh with the fused kernels forced on.
+
+        Everything is ShapeDtypeStruct — no real weights, no execution — so a
+        sharding-rule bug that only manifests at production dims (e.g. a head
+        count not divisible by tp after the grouped q|k|v layout) fails here
+        instead of on hardware.  ``.compile()`` matters: custom_partitioning's
+        partition callbacks only run inside the SPMD partitioner, so lowering
+        alone would not exercise the grouped-q|k|v rule."""
+        import dataclasses
+
+        from tstar_tpu.kernels import attention, patch_matmul
+        from tstar_tpu.models.owlvit import owlvit_base_patch32
+        from tstar_tpu.parallel.batched import batched_search_step, _mesh_info_guard
+
+        monkeypatch.setenv("TSTAR_FUSED_MHA", "force")
+        monkeypatch.setenv("TSTAR_PALLAS_LN", "0")   # no interpret shim here
+        monkeypatch.setattr(attention.jax, "default_backend", lambda: "tpu")
+        monkeypatch.setattr(patch_matmul.jax, "default_backend", lambda: "tpu")
+        real_mha = attention.fused_mha_from_qkv.__wrapped__
+        monkeypatch.setattr(
+            attention, "fused_mha_from_qkv",
+            lambda qkv, nh, *, interpret=False, tp_groups=1: real_mha(
+                qkv, nh, interpret=True, tp_groups=tp_groups
+            ),
+        )
+        real_patch = patch_matmul.patch_embed_matmul.__wrapped__
+        monkeypatch.setattr(
+            patch_matmul, "patch_embed_matmul",
+            lambda pixels, kernel, *, interpret=False: real_patch(
+                pixels, kernel, interpret=True
+            ),
+        )
+        planned = {}
+        real_plan = attention.fused_mha_plan
+
+        def spy_plan(*a, **kw):
+            out = real_plan(*a, **kw)
+            planned[(a[1], a[3], out)] = planned.get((a[1], a[3], out), 0) + 1
+            return out
+
+        monkeypatch.setattr(attention, "fused_mha_plan", spy_plan)
+
+        B, n_valid, n_pad = 8, 64, 128
+        cfg = SearchConfig(search_budget=0.5, use_pallas_preprocess=False,
+                           verify_flat=False)
+        model = OwlViTDetector(owlvit_base_patch32(), dtype=jnp.bfloat16)
+        tok = HashTokenizer(vocab_size=49408, context=16)
+
+        def build_all(_):
+            variables = model.init(
+                jax.random.key(0), jnp.zeros((1, 768, 768, 3)),
+                jnp.zeros((2, 16), jnp.int32),
+            )
+            cache = jnp.zeros((n_pad, 192, 384, 3), jnp.uint8)
+            sc = make_owlvit_scorer(
+                model, variables, cache, ["couch"], ["tv"], tok, cfg
+            )
+
+            def bcast(x):
+                return jnp.broadcast_to(x[None], (B,) + x.shape)
+
+            batched = dataclasses.replace(
+                sc, cache=bcast(sc.cache), query_embeds=bcast(sc.query_embeds),
+                query_mask=bcast(sc.query_mask),
+                class_weights=bcast(sc.class_weights),
+            )
+            states = [
+                init_state(n_valid, 1, cfg, jax.random.key(i), n_pad=n_pad)
+                for i in range(B)
+            ]
+            return batched, jax.tree_util.tree_map(
+                lambda *xs: jnp.stack(xs), *states
+            )
+
+        scorer_sds, states_sds = jax.eval_shape(build_all, 0)
+        mesh = make_mesh(data=4, model=2)
+        var_specs = owlvit_param_shardings(mesh, scorer_sds.variables)
+        vars_sharded = jax.tree_util.tree_map(
+            lambda l, s: jax.ShapeDtypeStruct(l.shape, l.dtype, sharding=s),
+            scorer_sds.variables, var_specs,
+        )
+
+        def with_sharding(spec_fn):
+            def go(l):
+                if l is None:
+                    return None
+                return jax.ShapeDtypeStruct(
+                    l.shape, l.dtype, sharding=NamedSharding(mesh, spec_fn(l))
+                )
+            return go
+
+        dp_sds = with_sharding(lambda l: P("data", *([None] * (l.ndim - 1))))
+        rep_sds = with_sharding(lambda l: P())
+        scorer_sharded = dataclasses.replace(
+            scorer_sds,
+            variables=vars_sharded,
+            cache=dp_sds(scorer_sds.cache),
+            query_embeds=dp_sds(scorer_sds.query_embeds),
+            query_mask=dp_sds(scorer_sds.query_mask),
+            class_weights=dp_sds(scorer_sds.class_weights),
+            gb_awk=rep_sds(scorer_sds.gb_awk),
+            gb_bias=rep_sds(scorer_sds.gb_bias),
+            gb_ah=rep_sds(scorer_sds.gb_ah),
+        )
+        states_sharded = jax.tree_util.tree_map(dp_sds, states_sds)
+
+        step = jax.jit(lambda ss, sc: batched_search_step(ss, sc, cfg))
+        with _mesh_info_guard(states_sharded):
+            info = attention.current_mesh_kernel_info()
+            assert (info.dp, info.tp) == (4, 2)   # inferred from SDS shardings
+            lowered = step.lower(states_sharded, scorer_sharded)
+        # Grouped tp=2 plan used on both vision forwards (grid + verify):
+        # 12 layers x 2 forwards.  The text tower (S=16) must stay on XLA.
+        assert planned.get((577, 12, 2), 0) >= 24, planned
+        assert not any(s == 16 and g for (s, _, g), _ in planned.items()), planned
+        # SPMD-partition at real dims: custom_partitioning partition
+        # callbacks for the grouped q|k|v MHA + the patch-embed kernel run
+        # here (and raise on any rule/layout inconsistency).
+        lowered.compile()
+
     def test_tp_sharded_generate_matches_unsharded(self):
         """VERDICT r2 item 3b: TP-sharded greedy decode == unsharded decode,
         token for token."""
