@@ -1,0 +1,200 @@
+"""Recall A/B for the accuracy-affecting perf knobs (VERDICT r4 item 2).
+
+README advertises verify_image_size / detector_quant speedups; this measures
+what they COST in keyframe recall, hermetically (no checkpoints, no network).
+
+Detector: ``owl-vit-calibrated`` (framework/heuristics.py) — random frozen
+OWL-ViT weights whose query embeddings are calibrated (public-interface
+probing + unit-norm ridge) to the planted-object fixtures so the REAL
+detector compute path functions as a detector.  Measured constraint: at
+owlvit-base dims (12 layers / 768 hidden) the class head's context noise
+drowns the calibrated signal (post-mortem in PERFORMANCE.md), so the A/B
+runs at a scaled geometry with the PRODUCTION token count:
+
+    image 192 / patch 8  -> S = 577 tokens   (== base-patch32's 577)
+    verify_image_size 128 == 2/3 resolution  (mirrors 512/768)
+    verify_image_size  96 == 1/2 resolution  (mirrors 384/768)
+
+The knob code paths are dimension-independent: detector_quant quantizes the
+same six dense matmuls per layer (models/owlvit_quant.py), verify_image_size
+interpolates position embeddings through the same resize_detector path.
+What this measures faithfully: how the knobs' numerics perturb detections /
+verification decisions / final keyframes.  What it cannot measure: absolute
+recall of real released weights (zero egress; tests/test_real_checkpoints.py
+remains that gate).
+
+Each (scene, seed) pair runs every knob config at MATCHED budget; metrics
+are temporal P/R/F1 @5s (bench/metrics.py) plus agreement diagnostics.
+
+    python scripts/ab_knob_recall.py [--scenes 8] [--seeds 4] [--cal-seeds 4]
+
+Prints one JSON line.  tests/test_knob_recall.py pins the harness.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# S=577 geometry: production token count at calibratable dims.
+GEOMETRY = dict(
+    vision=dict(hidden_size=64, num_layers=3, num_heads=4,
+                intermediate_size=128, patch_size=8, image_size=192),
+    text=dict(vocab_size=100, hidden_size=48, num_layers=2,
+              num_heads=4, intermediate_size=64, max_length=8),
+    projection_dim=48,
+)
+
+DURATION = 180.0
+EVENT_LEN = 6.0
+OBJECT_SIZE = 0.8
+
+
+def model_config():
+    from tstar_tpu.models.owlvit import OwlViTConfig, TextConfig, VisionConfig
+
+    return OwlViTConfig(
+        vision=VisionConfig(**GEOMETRY["vision"]),
+        text=TextConfig(**GEOMETRY["text"]),
+        projection_dim=GEOMETRY["projection_dim"],
+    )
+
+
+def pick_calibrated_heuristic(base_cfg, cal_seeds, jnp):
+    """Seed lottery: random-feature quality varies by init; pick the seed
+    with the best measured min-margin (both scales must be positive for a
+    well-posed detector)."""
+    from tstar_tpu.framework.heuristics import CalibratedOwlVitHeuristic
+
+    best = None
+    for seed in range(cal_seeds):
+        h = CalibratedOwlVitHeuristic(
+            dtype=jnp.float32, model_config=model_config(), seed=seed,
+            object_size=OBJECT_SIZE,
+        )
+        cal = h.calibrate(base_cfg.cache_hw, ["couch"], [], base_cfg)
+        margin = min(cal["couch"]["grid_margin"], cal["couch"]["verify_margin"])
+        print(f"cal seed {seed}: min margin {margin:+.3f}", flush=True)
+        if best is None or margin > best[0]:
+            best = (margin, seed, h)
+    margin, seed, h = best
+    if margin <= 0.02:
+        raise SystemExit(
+            f"no calibration seed in range({cal_seeds}) yields a working "
+            f"detector (best min-margin {margin:+.3f}); raise --cal-seeds"
+        )
+    return h, seed, margin
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=8)
+    ap.add_argument("--seeds", type=int, default=4)
+    ap.add_argument("--cal-seeds", type=int, default=4)
+    ap.add_argument("--knobs", default="bf16,verify128,verify96,int8,w8a16,int8_verify128")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from tstar_tpu.bench.metrics import temporal_prf
+    from tstar_tpu.search.searcher import KeyframeSearcher
+    from tstar_tpu.utils.config import SearchConfig
+    from tstar_tpu.video.synthetic import PlantedObject, write_synthetic_video
+
+    base = SearchConfig(search_budget=1.0)
+    h, cal_seed, margin = pick_calibrated_heuristic(base, args.cal_seeds, jnp)
+    cfg0 = dataclasses.replace(
+        base,
+        detector_threshold=h.suggested_detector_threshold,
+        confidence_threshold=h.suggested_confidence_threshold,
+    )
+
+    knob_cfgs = {
+        "bf16": cfg0,
+        "verify128": dataclasses.replace(cfg0, verify_image_size=128),
+        "verify96": dataclasses.replace(cfg0, verify_image_size=96),
+        "int8": dataclasses.replace(cfg0, detector_quant="int8"),
+        "w8a16": dataclasses.replace(cfg0, detector_quant="w8a16"),
+        "int8_verify128": dataclasses.replace(
+            cfg0, detector_quant="int8", verify_image_size=128
+        ),
+    }
+    knobs = [k for k in args.knobs.split(",") if k in knob_cfgs]
+
+    rng = np.random.default_rng(0)
+    d = tempfile.mkdtemp(prefix="knob_recall_")
+    scenes = []
+    for i in range(args.scenes):
+        start = float(rng.uniform(30, DURATION - 40))
+        path = os.path.join(d, f"scene{i}.mp4")
+        write_synthetic_video(
+            path, duration_sec=DURATION, fps=10.0, hw=(96, 160),
+            objects=[PlantedObject("couch", (start, start + EVENT_LEN),
+                                   (200, 40, 40), (0.5, 0.45), OBJECT_SIZE)],
+        )
+        scenes.append((path, start))
+
+    out = {
+        "geometry": "S577 (image 192 / patch 8); verify128==2/3 (mirrors 512/768), "
+                    "verify96==1/2 (mirrors 384/768)",
+        "cal_seed": cal_seed,
+        "cal_min_margin": round(margin, 4),
+        "scenes": args.scenes,
+        "seeds": args.seeds,
+        "knobs": {},
+    }
+    bf16_frames = {}
+    for knob in knobs:
+        cfg = knob_cfgs[knob]
+        gt, pred, iters = [], [], []
+        for i, (path, start) in enumerate(scenes):
+            for seed in range(args.seeds):
+                s = KeyframeSearcher(
+                    video_path=path, heuristic=h,
+                    target_objects=["couch"], cue_objects=[],
+                    config=cfg, seed=1000 * seed + i,
+                    search_budget=cfg.search_budget,
+                    confidence_threshold=cfg.confidence_threshold,
+                )
+                _, ts = s.search()
+                gt.append(np.arange(start, start + EVENT_LEN))
+                pred.append(np.asarray(ts))
+                iters.append(int(np.asarray(s._final_state.iteration)))
+                if knob == "bf16":
+                    bf16_frames[(i, seed)] = set(int(t) for t in ts)
+        p, r, f1 = temporal_prf(gt, pred, threshold=5)
+        entry = {
+            "precision": round(float(p), 4),
+            "recall": round(float(r), 4),
+            "f1": round(float(f1), 4),
+            "mean_iterations": round(float(np.mean(iters)), 2),
+        }
+        if knob != "bf16" and bf16_frames:
+            # keyframe overlap vs the bf16 run at the same (scene, seed)
+            overlaps = []
+            idx = 0
+            for i in range(args.scenes):
+                for seed in range(args.seeds):
+                    ours = set(int(t) for t in pred[idx])
+                    ref = bf16_frames.get((i, seed), set())
+                    overlaps.append(len(ours & ref) / max(len(ref), 1))
+                    idx += 1
+            entry["keyframe_overlap_vs_bf16"] = round(float(np.mean(overlaps)), 4)
+        out["knobs"][knob] = entry
+        print(f"{knob}: {entry}", flush=True)
+
+    ref = out["knobs"].get("bf16", {})
+    for knob, e in out["knobs"].items():
+        e["recall_delta_vs_bf16"] = round(e["recall"] - ref.get("recall", 0.0), 4)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

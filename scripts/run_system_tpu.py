@@ -82,7 +82,7 @@ def main():
     p.add_argument("--uniform_duration", action="store_true",
                    help="disable the duration mix (single bucket)")
     p.add_argument("--budget", type=float, default=1.0)
-    p.add_argument("--detector_quant", type=str, default=None, choices=["int8"])
+    p.add_argument("--detector_quant", type=str, default=None, choices=["int8", "w8a16"])
     p.add_argument("--verify_image_size", type=int, default=None)
     p.add_argument("--qa_batch", type=int, default=1)
     args = p.parse_args()

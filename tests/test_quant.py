@@ -25,7 +25,7 @@ from tstar_tpu.models.owlvit import (
     VisionConfig,
 )
 from tstar_tpu.models.owlvit_quant import encode_image_int8, quantize_vision_tower
-from tstar_tpu.ops.quant import dense_w8a8, quantize_weight
+from tstar_tpu.ops.quant import dense_w8a8, dense_w8a16, quantize_weight
 from tstar_tpu.search.detector_scorer import make_owlvit_scorer
 from tstar_tpu.search.engine import run_search
 from tstar_tpu.search.state import init_state
@@ -92,6 +92,39 @@ class TestQuantPrimitives:
         assert rel < 0.02
 
 
+class TestWeightOnlyPrimitives:
+    def test_dense_w8a16_matches_numpy(self):
+        """Weight-only: x @ dequant(w) + b exactly (f32 compute, no act quant)."""
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((5, 37, 24)).astype(np.float32)
+        w = rng.standard_normal((24, 48)).astype(np.float32)
+        b = rng.standard_normal((48,)).astype(np.float32)
+        w_i8, w_s = quantize_weight(w)
+        got = np.asarray(
+            jax.jit(dense_w8a16)(jnp.asarray(x), jnp.asarray(w_i8),
+                                 jnp.asarray(w_s), jnp.asarray(b))
+        )
+        want = x @ (w_i8.astype(np.float32) * w_s) + b
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    def test_w8a16_error_strictly_tighter_than_w8a8(self):
+        """No activation quantization => error <= the W8A8 error on the
+        same weights (this is the entire point of the knob)."""
+        rng = np.random.default_rng(6)
+        x = rng.standard_normal((64, 128)).astype(np.float32)
+        w = rng.standard_normal((128, 96)).astype(np.float32)
+        w_i8, w_s = quantize_weight(w)
+        want = x @ w
+        err16 = np.abs(np.asarray(
+            dense_w8a16(jnp.asarray(x), jnp.asarray(w_i8), jnp.asarray(w_s))
+        ) - want).max()
+        err8 = np.abs(np.asarray(
+            dense_w8a8(jnp.asarray(x), jnp.asarray(w_i8), jnp.asarray(w_s))
+        ) - want).max()
+        assert err16 < err8
+        assert err16 / np.abs(want).max() < 0.01
+
+
 class TestQuantTower:
     @pytest.fixture(scope="class")
     def model_and_vars(self):
@@ -118,6 +151,30 @@ class TestQuantTower:
         den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1) + 1e-9
         cos = num / den
         assert cos.min() > 0.98, f"min per-patch cosine {cos.min()}"
+
+    def test_w8a16_drift_tighter_than_w8a8(self, model_and_vars):
+        """Full-tower drift vs the float tower: weight-only must track at
+        least as closely as W8A8 (per-patch cosine) and very tightly in
+        absolute terms."""
+        model, variables = model_and_vars
+        rng = np.random.default_rng(7)
+        pixels = jnp.asarray(rng.standard_normal((2, 64, 64, 3)).astype(np.float32))
+        ref = np.asarray(model.apply(
+            variables, pixels, method=OwlViTDetector.encode_image
+        )).reshape(-1, TINY.vision.hidden_size)
+        qp = quantize_vision_tower(variables, TINY)
+
+        def cos_min(weight_only):
+            got = np.asarray(encode_image_int8(
+                qp, pixels, TINY, dtype=jnp.float32, weight_only=weight_only
+            )).reshape(-1, TINY.vision.hidden_size)
+            num = (ref * got).sum(-1)
+            den = np.linalg.norm(ref, axis=-1) * np.linalg.norm(got, axis=-1)
+            return (num / (den + 1e-9)).min()
+
+        c16, c8 = cos_min(True), cos_min(False)
+        assert c16 >= c8 - 1e-4, (c16, c8)
+        assert c16 > 0.995, c16
 
     def test_detection_scores_track_float(self, model_and_vars):
         model, variables = model_and_vars
@@ -212,6 +269,32 @@ class TestQuantScorer:
         secs = np.asarray(secs)
         assert secs.shape == (cfg.search_nframes,)
         assert (secs >= 0).all() and (secs < n_valid).all()
+        assert len(np.unique(secs)) == cfg.search_nframes
+        assert np.isfinite(np.asarray(final.P)).all()
+
+    def test_full_search_runs_w8a16(self):
+        cfg = SearchConfig(search_budget=0.5, detector_quant="w8a16")
+        model = OwlViTDetector(TINY, dtype=jnp.float32)
+        rng = np.random.default_rng(8)
+        n_valid = 150
+        n_pad = cfg.padded_frames(n_valid)
+        cache = jnp.asarray(
+            rng.integers(0, 256, size=(n_pad, 20, 40, 3), dtype=np.uint8)
+        )
+        variables = model.init(
+            jax.random.key(0),
+            jnp.zeros((1, 64, 64, 3), jnp.float32),
+            jnp.zeros((2, 8), jnp.int32),
+        )
+        tok = HashTokenizer(vocab_size=100, context=8)
+        scorer = make_owlvit_scorer(
+            model, variables, cache, ["couch"], ["tv"], tok, cfg
+        )
+        assert scorer.qvision is not None   # same int8 pytree as W8A8
+        state = init_state(n_valid, 1, cfg, jax.random.key(1), n_pad=n_pad)
+        final, secs = jax.jit(run_search, static_argnums=2)(state, scorer, cfg)
+        secs = np.asarray(secs)
+        assert secs.shape == (cfg.search_nframes,)
         assert len(np.unique(secs)) == cfg.search_nframes
         assert np.isfinite(np.asarray(final.P)).all()
 

@@ -35,7 +35,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help=">0: search N videos concurrently in one on-device "
                         "batched loop (detector backends only)")
     p.add_argument("--detector_quant", type=str, default=None,
-                   choices=["int8"],
+                   choices=["int8", "w8a16"],
                    help="quantize the OWL-ViT encoder to W8A8 (TPU int8 MXU)")
     p.add_argument("--verify_image_size", type=int, default=None,
                    help="verification rescore resolution (e.g. 512); "

@@ -41,7 +41,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--deterministic", action="store_true",
                    help="top-k keyframe pop instead of sampled (reproducible)")
     p.add_argument("--detector_quant", type=str, default=None,
-                   choices=["int8"],
+                   choices=["int8", "w8a16"],
                    help="quantize the OWL-ViT encoder to W8A8 (TPU int8 MXU)")
     p.add_argument("--verify_image_size", type=int, default=None,
                    help="verification rescore resolution (e.g. 512); "

@@ -141,7 +141,8 @@ class _DetectorCompatMixin:
 class OwlVitHeuristic(_DetectorCompatMixin):
     """Flax OWL-ViT backend (reference default, TStarFramework.py:175-179)."""
 
-    def __init__(self, checkpoint_dir: Optional[str] = None, dtype=None, seed: int = 0):
+    def __init__(self, checkpoint_dir: Optional[str] = None, dtype=None,
+                 seed: int = 0, model_config=None):
         import jax.numpy as jnp
 
         from tstar_tpu.models.owlvit import OwlViTDetector, owlvit_base_patch32
@@ -157,7 +158,8 @@ class OwlVitHeuristic(_DetectorCompatMixin):
         else:
             from tstar_tpu.models.clip_tokenizer import HashTokenizer
 
-            cfg = owlvit_base_patch32()
+            # model_config: random-init dims override (tiny-dims tests)
+            cfg = model_config or owlvit_base_patch32()
             self.model = OwlViTDetector(cfg, dtype=dtype)
             self.variables = self.model.init(
                 jax.random.key(seed),
@@ -174,6 +176,380 @@ class OwlVitHeuristic(_DetectorCompatMixin):
         return make_owlvit_scorer(
             self.model, self.variables, cache,
             target_objects, cue_objects, self.tokenizer, config,
+        )
+
+
+class CalibratedOwlVitHeuristic(OwlVitHeuristic):
+    """OWL-ViT with random frozen weights and CALIBRATED query embeddings.
+
+    Measurement backend for the accuracy-affecting perf knobs
+    (``detector_quant`` int8/w8a16, ``verify_image_size``; VERDICT r4
+    item 2): zero egress blocks real checkpoints, and the color-probe
+    backend bypasses the detector entirely, so neither can measure how
+    quantization or reduced-resolution verification perturb DETECTIONS.
+    This backend turns the real OWL-ViT compute path into a *functioning*
+    detector on the synthetic planted-object fixtures (video/synthetic.py):
+
+      1. render calibration canvases through the production preprocessing
+         (``build_detector_grid``) with the object's color square planted
+         in known grid cells over background frames;
+      2. recover the encoder's per-patch class-space directions through the
+         PUBLIC ``predict`` interface by probing with +/- basis queries:
+         ``ClassHead`` logits are ``(img_hat . q_hat + shift) * scale`` with
+         per-patch positive scale, so the half-difference of the +e_i / -e_i
+         probe logits isolates ``img_hat_i * scale(p)`` and the scale
+         cancels under normalization;
+      3. the query embedding for object X = the CONTRAST direction
+         ``normalize(dir(object patch) - dir(background patch))``, averaged
+         over calibration cells — at the object the cosine is +m, on
+         background -m, a symmetric logit margin;
+      4. the ' ' padding prompt is MASKED (its random embedding would
+         otherwise compete in the per-patch argmax; documented deviation
+         from the reference prompt layout, interface_heuristic.py:268-280);
+      5. measured object/background score distributions (grid AND
+         verification-style canvases) are exposed via ``calibration`` and
+         ``suggested_confidence_threshold`` (their midpoint), so searches
+         are well-posed by construction at bf16 and knob configs perturb
+         genuine detections.
+
+    A random ViT is a deterministic, color-sensitive feature extractor, so
+    this is a real detector in every architectural sense — only the features
+    are arbitrary.  NOT a substitute for real-checkpoint validation
+    (tests/test_real_checkpoints.py remains that); but knob deltas measured
+    here exercise exactly the code paths the knobs change.
+    """
+
+    def __init__(
+        self,
+        color_map: Optional[Dict[str, Tuple[int, int, int]]] = None,
+        dtype=None,
+        seed: int = 0,
+        object_position: Tuple[float, float] = (0.5, 0.45),
+        object_size: float = 0.4,
+        # (canvas index -> object cells) rotation: global attention makes
+        # every patch's logit map context-dependent, so both the object
+        # CELLS and the surrounding cell contents must vary across
+        # calibration canvases or the separator won't transfer to search
+        # canvases (measured: the object's own-patch b-shift even flips
+        # sign between uniform and diverse canvases)
+        cal_cells_per_canvas: Sequence[Sequence[int]] = (
+            (5, 10), (0, 15), (3, 12), (6, 9),
+        ),
+        model_config=None,
+    ):
+        super().__init__(checkpoint_dir=None, dtype=dtype, seed=seed,
+                         model_config=model_config)
+        self.name = "owl-vit-calibrated"
+        self.color_map = dict(DEFAULT_COLOR_MAP if color_map is None else color_map)
+        self.object_position = object_position
+        self.object_size = object_size
+        self.cal_cells_per_canvas = tuple(tuple(c) for c in cal_cells_per_canvas)
+        self.calibration: Dict[str, Dict[str, float]] = {}
+        self._dir_cache: Dict[Tuple, Dict[str, np.ndarray]] = {}
+
+    # -- calibration -------------------------------------------------------
+    def _render_cal_frame(self, hw, color=None, t: float = 0.0) -> np.ndarray:
+        from tstar_tpu.video.synthetic import PlantedObject, render_frame
+
+        objs = []
+        if color is not None:
+            objs = [PlantedObject("cal", (0.0, 1e9), color,
+                                  self.object_position, self.object_size)]
+        return render_frame(t, hw, objs)
+
+    def _patch_index(self, cell: int, config: SearchConfig) -> int:
+        """Row-major patch index of the object's center within grid cell."""
+        c = self.model.cfg.vision
+        rows, cols = config.grid_rows, config.grid_cols
+        cell_h, cell_w = c.image_size // rows, c.image_size // cols
+        r, col = divmod(cell, cols)
+        y = int((r + self.object_position[0]) * cell_h)
+        x = int((col + self.object_position[1]) * cell_w)
+        n = c.num_patches_side
+        return (y // c.patch_size) * n + (x // c.patch_size)
+
+    def _object_patch_span(self, cell, rows, cols, cache_hw):
+        """-> (fully-covered patch indices, touched patch indices) of the
+        object square rendered in grid cell ``cell``."""
+        c = self.model.cfg.vision
+        ch, cw = cache_hw
+        cell_h, cell_w = c.image_size // rows, c.image_size // cols
+        half = max(2, int(self.object_size * min(ch, cw) / 2))
+        hy, hx = half * cell_h / ch, half * cell_w / cw
+        r, col = divmod(cell, cols)
+        cy = (r + self.object_position[0]) * cell_h
+        cx = (col + self.object_position[1]) * cell_w
+        ps, n = c.patch_size, c.num_patches_side
+        import math
+
+        def span(lo, hi):
+            return range(math.ceil(lo / ps), math.floor(hi / ps)), range(
+                math.floor(lo / ps), math.ceil(hi / ps)
+            )
+
+        (fy, ty), (fx, tx) = span(cy - hy, cy + hy), span(cx - hx, cx + hx)
+        full = [py * n + px for py in fy for px in fx]
+        touched = [py * n + px for py in ty for px in tx]
+        if not full:
+            # object smaller than a patch: the center patch is the best
+            # (majority-covered) positive example available
+            full = [int(cy // ps) * n + int(cx // ps)]
+        return full, touched
+
+    def _cell_patches(self, cell, rows, cols):
+        c = self.model.cfg.vision
+        ps, n = c.patch_size, c.num_patches_side
+        ph, pw = (c.image_size // rows) // ps, (c.image_size // cols) // ps
+        r, col = divmod(cell, cols)
+        return [
+            (r * ph + py) * n + (col * pw + px)
+            for py in range(ph) for px in range(pw)
+        ]
+
+    def _probe_affine(self, pixels):
+        """(1, S, S, 3) canvas -> per-patch affine logit map (A, b).
+
+        ``ClassHead`` computes ``logit_p(q) = (img_hat_p . q_hat + s_p) c_p``
+        with per-patch shift s_p and positive scale c_p.  Probing with the
+        +/- basis queries e_i gives logit(+e_i) + logit(-e_i) = 2 s_p c_p and
+        logit(+e_i) - logit(-e_i) = 2 img_i c_p, so the patch's logit for ANY
+        normalized query is EXACTLY ``A_p . q_hat + b_p`` with
+        A_p = img_hat_p c_p (returned raw, scale included) and b_p = s_p c_p.
+        """
+        from tstar_tpu.models.owlvit import OwlViTDetector
+
+        dq = self.model.cfg.text.hidden_size
+        feats = self.model.apply(
+            self.variables, pixels, method=OwlViTDetector.encode_image
+        )
+        probes = jnp.concatenate([jnp.eye(dq), -jnp.eye(dq)]).astype(jnp.float32)
+        logits, _ = self.model.apply(
+            self.variables, feats, probes, None, method=OwlViTDetector.predict
+        )
+        lp = np.asarray(logits[0], np.float64)
+        a = (lp[:, :dq] - lp[:, dq:]) / 2
+        b = (lp[:, :dq] + lp[:, dq:]).mean(-1) / 2
+        return a, b
+
+    def _calibrate(self, cache_hw, names, config) -> Dict[str, np.ndarray]:
+        from tstar_tpu.kernels.image import build_detector_grid
+        from tstar_tpu.models.owlvit import OwlViTDetector, postprocess_detections
+
+        key = (cache_hw, config.grid_rows, config.grid_cols, tuple(sorted(names)))
+        if key in self._dir_cache:
+            return self._dir_cache[key]
+
+        rows, cols = config.grid_rows, config.grid_cols
+        k = rows * cols
+        size = self.model.cfg.vision.image_size
+        dirs_by_name: Dict[str, np.ndarray] = {}
+        for name in names:
+            color = self.color_map.get(name)
+            if color is None:
+                logger.warning("owl-vit-calibrated: no color for %r", name)
+                continue
+            # Calibration cache: one full background-intensity cycle
+            # (second_intensity has period ceil(200/7)=29 s) + the object
+            # over every one of those backgrounds.
+            npool = 29
+            frames = [self._render_cal_frame(cache_hw, None, t)
+                      for t in range(npool)]
+            frames += [self._render_cal_frame(cache_hw, color, t)
+                       for t in range(npool)]
+            cal_cache = jnp.asarray(np.stack(frames))
+
+            # -- training data: per-patch affine logit maps with object /
+            # background / excluded-mixed labels.  Canvases are DIVERSE like
+            # search-time grids (16 different backgrounds per canvas,
+            # object cells rotating) — global attention makes every patch
+            # context-dependent, so uniform calibration canvases do not
+            # transfer.  Verification scale (one frame fills the canvas)
+            # trains from its own canvases.
+            rng_cal = np.random.default_rng(11)
+            rows_x, rows_y = [], []
+            canvases = []      # (secs, cells_with_object, grid_rows, grid_cols)
+            for cells in self.cal_cells_per_canvas:
+                secs_bg = rng_cal.choice(npool, size=k, replace=k > npool
+                                         ).astype(np.int32)
+                secs_obj = secs_bg.copy()
+                for cell in cells:
+                    secs_obj[cell] = npool + secs_bg[cell]  # object, same bg
+                canvases.append((jnp.asarray(secs_bg), (), rows, cols))
+                canvases.append((jnp.asarray(secs_obj), tuple(cells), rows, cols))
+            # verification scale: one frame fills the whole canvas (grid 1x1)
+            for t in (0, 10, 20):
+                canvases.append((jnp.asarray([t]), (), 1, 1))
+                canvases.append((jnp.asarray([npool + t]), (0,), 1, 1))
+
+            rows_b = []
+            for secs, obj_cells, gr, gc in canvases:
+                a, b = self._probe_affine(build_detector_grid(
+                    cal_cache, secs, (gr, gc), size, dtype=self.model.dtype,
+                ))
+                label = np.full(a.shape[0], -1.0)
+                drop = np.zeros(a.shape[0], bool)
+                for cell in obj_cells:
+                    full, touched = self._object_patch_span(
+                        cell, gr, gc, cache_hw
+                    )
+                    drop[touched] = True
+                    label[full] = 1.0
+                    drop[full] = False
+                keep = ~drop
+                rows_x.append(a[keep])
+                rows_y.append(label[keep])
+                rows_b.append(b[keep])
+
+            a = np.concatenate(rows_x)
+            y = np.concatenate(rows_y)
+            b = np.concatenate(rows_b)
+            # Ridge in LOGIT space: the patch logit is A_p . q_hat + b_p.
+            # Measured structure (full dims): b is near-CONSTANT across
+            # background patches (sigma ~ 0.01) but the OBJECT shifts its own
+            # patch's b by O(1) — so target a +/-gamma logit separation
+            # RELATIVE to b (target A.q = median(b) - b + gamma*y): the
+            # object's own b-boost adds to the margin instead of being
+            # cancelled, and rare hot-b background patches get compensated.
+            # Object patches are rare: weight them up so this is a
+            # separator, not a background regressor.
+            gamma = 1.5
+            b_med = float(np.median(b))
+            w = np.where(y > 0, (y <= 0).sum() / max((y > 0).sum(), 1), 1.0)
+
+            def solve(w):
+                # ClassHead NORMALIZES the query, so the logits the search
+                # sees are A . (q/|q|) + b — a free-norm ridge solution's
+                # b-compensation would be scaled away by 1/|q|.  Solve the
+                # trust-region problem (min weighted LS s.t. |q| = 1) by
+                # bisecting the ridge multiplier: |q(lam)| is monotone
+                # decreasing, so pick lam with |q(lam)| = 1.
+                aw = a * w[:, None]
+                m = aw.T @ a
+                r = aw.T @ (b_med - b + gamma * y)
+                evals, vecs = np.linalg.eigh(m)
+                rv = vecs.T @ r
+
+                def qnorm(lam):
+                    return float(np.sqrt(((rv / (evals + lam)) ** 2).sum()))
+
+                lo = 1e-9 * max(float(evals.max()), 1.0)
+                if qnorm(lo) <= 1.0:
+                    lam = lo
+                else:
+                    hi = 1e6 * max(float(evals.max()), 1.0)
+                    for _ in range(60):
+                        mid = np.sqrt(lo * hi)
+                        if qnorm(mid) > 1.0:
+                            lo = mid
+                        else:
+                            hi = mid
+                    lam = np.sqrt(lo * hi)
+                q = vecs @ (rv / (evals + lam))
+                return q / (np.linalg.norm(q) + 1e-9)
+
+            # Hard-negative reweighting: the splat/verify consume the MAX
+            # over a cell's patches, so one hot background outlier costs a
+            # whole cell — boost misordered rows and re-solve (2 rounds
+            # measured enough to clear the grid margin on the fixtures).
+            q = solve(w)
+            for _ in range(2):
+                logit = a @ q + b
+                tau = (logit[y > 0].min() + logit[y < 0].max()) / 2
+                viol = ((y < 0) & (logit > tau)) | ((y > 0) & (logit < tau))
+                if not viol.any():
+                    break
+                w = np.where(viol, w * 8.0, w)
+                q = solve(w)
+            dirs_by_name[name] = q.astype(np.float32)
+
+            # -- margin measurement with the FINAL query, scored the way the
+            # splat sees it (per-cell max over patches) --------------------
+            qj = jnp.asarray(dirs_by_name[name])[None]
+            stats = {"grid": {"obj": [], "bg": []},
+                     "verify": {"obj": [], "bg": []}}
+            for secs, obj_cells, gr, gc in canvases:
+                pixels = build_detector_grid(
+                    cal_cache, secs, (gr, gc), size, dtype=self.model.dtype
+                )
+                feats = self.model.apply(
+                    self.variables, pixels, method=OwlViTDetector.encode_image
+                )
+                logits, boxes = self.model.apply(
+                    self.variables, feats, qj, None,
+                    method=OwlViTDetector.predict,
+                )
+                scores, _, _ = postprocess_detections(logits, boxes, (size, size))
+                s = np.asarray(scores[0])
+                scale = "grid" if gr > 1 else "verify"
+                for cell in range(gr * gc):
+                    cell_max = float(s[self._cell_patches(cell, gr, gc)].max())
+                    stats[scale]["obj" if cell in obj_cells else "bg"].append(
+                        cell_max
+                    )
+            self.calibration[name] = {
+                "grid_obj_min": min(stats["grid"]["obj"]),
+                "grid_bg_max": max(stats["grid"]["bg"]),
+                "verify_obj_min": min(stats["verify"]["obj"]),
+                "verify_bg_max": max(stats["verify"]["bg"]),
+            }
+            self.calibration[name]["grid_margin"] = (
+                self.calibration[name]["grid_obj_min"]
+                - self.calibration[name]["grid_bg_max"]
+            )
+            self.calibration[name]["verify_margin"] = (
+                self.calibration[name]["verify_obj_min"]
+                - self.calibration[name]["verify_bg_max"]
+            )
+        self._dir_cache[key] = dirs_by_name
+        return dirs_by_name
+
+    def calibrate(self, cache_hw, target_objects, cue_objects, config):
+        """Public pre-calibration: run it BEFORE constructing the searcher so
+        ``suggested_detector_threshold`` / ``suggested_confidence_threshold``
+        can seed the SearchConfig (build_scorer reuses the cached result).
+        Returns the measured per-object calibration stats."""
+        names = list(target_objects) + list(cue_objects)
+        self._calibrate(tuple(int(d) for d in cache_hw), names, config)
+        return self.calibration
+
+    def _suggest(self, scale: str) -> float:
+        stats = list(self.calibration.values())
+        if not stats:
+            raise RuntimeError("calibrate first (build_scorer)")
+        lo = min(s[f"{scale}_obj_min"] for s in stats)
+        hi = max(s[f"{scale}_bg_max"] for s in stats)
+        return float((lo + hi) / 2)
+
+    @property
+    def suggested_confidence_threshold(self) -> float:
+        """Midpoint of the measured verification-scale score gap (gates
+        ``verify_and_remove_target``)."""
+        return self._suggest("verify")
+
+    @property
+    def suggested_detector_threshold(self) -> float:
+        """Midpoint of the measured grid-scale score gap (gates which
+        detections splat/trigger verification)."""
+        return self._suggest("grid")
+
+    def build_scorer(self, cache, target_objects, cue_objects, config):
+        import dataclasses
+
+        base = super().build_scorer(cache, target_objects, cue_objects, config)
+        names = list(target_objects) + list(cue_objects)
+        dirs = self._calibrate(
+            tuple(int(d) for d in cache.shape[1:3]), names, config
+        )
+        q = np.zeros(base.query_embeds.shape, np.float32)
+        mask = np.zeros(base.query_mask.shape, bool)
+        for i, n in enumerate(names):
+            if n in dirs:
+                q[i] = dirs[n]
+                mask[i] = True
+        return dataclasses.replace(
+            base,
+            query_embeds=jnp.asarray(q, base.query_embeds.dtype),
+            query_mask=jnp.asarray(mask),
         )
 
 
@@ -272,6 +648,12 @@ def initialize_heuristic(
         return OwlVitHeuristic(checkpoint_dir=ckpt)
     if name == "owl-vit-random":
         return OwlVitHeuristic(checkpoint_dir=None, seed=kwargs.get("seed", 0))
+    if name == "owl-vit-calibrated":
+        # Functioning random-weight detector for knob-recall measurement
+        # (scripts/ab_knob_recall.py); see the class docstring.
+        return CalibratedOwlVitHeuristic(
+            color_map=kwargs.get("color_map"), seed=kwargs.get("seed", 0)
+        )
     if name in ("color-probe", "fake"):
         return ColorProbeHeuristic(color_map=kwargs.get("color_map"))
     if name in ("yolo-world", "yolo-world-v2"):

@@ -32,7 +32,7 @@ import numpy as np
 
 from tstar_tpu.models.owlvit import OwlViTConfig
 from tstar_tpu.models.transformer import ACTIVATIONS
-from tstar_tpu.ops.quant import dense_w8a8, quantize_weight
+from tstar_tpu.ops.quant import dense_w8a8, dense_w8a16, quantize_weight
 
 
 def _as_f32(x) -> jnp.ndarray:
@@ -110,6 +110,7 @@ def encode_image_int8(
     cfg: OwlViTConfig,
     dtype=jnp.bfloat16,
     patch_embeds: jax.Array = None,   # (B, P, D) precomputed (composed path)
+    weight_only: bool = False,
 ) -> jax.Array:
     """Quantized counterpart of ``OwlViTDetector.encode_image``.
 
@@ -118,7 +119,19 @@ def encode_image_int8(
     composed cache->embedding projection, kernels/image.py), ``pixels`` is
     ignored and the tower starts after the patch matmul — the patch
     embedding stays bf16 under int8 by design, so both entries share it.
+
+    ``weight_only`` (``SearchConfig.detector_quant='w8a16'``) runs the same
+    int8 weight pytree through ``dense_w8a16``: bf16 activations, int8
+    weights dequantized into the matmul — no dynamic activation quantization
+    (the measured W8A8 bottleneck) and strictly tighter numerics.
     """
+    if weight_only:
+        # Activations compute in bf16 exactly like the unquantized tower
+        # (the f32 layernorm outputs would otherwise force slow f32 dots).
+        def dense(x, w, s, b, out_dtype):
+            return dense_w8a16(x.astype(dtype), w, s, b, out_dtype=out_dtype)
+    else:
+        dense = dense_w8a8
     c = cfg.vision
     eps = c.eps
     ps = c.patch_size
@@ -144,7 +157,7 @@ def encode_image_int8(
     act = ACTIVATIONS[c.activation]
     for lyr in qparams["layers"]:
         h = _layernorm(x, lyr["ln1"], eps)
-        qkv = dense_w8a8(
+        qkv = dense(
             h, lyr["qkv"]["w"], lyr["qkv"]["s"], lyr["qkv"]["b"], out_dtype=dtype
         )
         from tstar_tpu.kernels.attention import (
@@ -169,16 +182,16 @@ def encode_image_int8(
                     split(q), split(k), split(v)
                 )
             attn = attn.reshape(b, seq, c.hidden_size)
-        x = x + dense_w8a8(
+        x = x + dense(
             attn, lyr["o"]["w"], lyr["o"]["s"], lyr["o"]["b"], out_dtype=dtype
         )
         h = _layernorm(x, lyr["ln2"], eps)
-        h = dense_w8a8(
+        h = dense(
             h, lyr["fc1"]["w"], lyr["fc1"]["s"], lyr["fc1"]["b"],
             out_dtype=jnp.float32,
         )
         h = act(h)
-        x = x + dense_w8a8(
+        x = x + dense(
             h, lyr["fc2"]["w"], lyr["fc2"]["s"], lyr["fc2"]["b"], out_dtype=dtype
         )
 

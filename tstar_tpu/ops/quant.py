@@ -59,6 +59,38 @@ def int8_matmul(x_i8: jax.Array, w_i8: jax.Array) -> jax.Array:
     )
 
 
+def dense_w8a16(
+    x: jax.Array,              # (..., K) float activations (bf16 in prod)
+    w_i8: jax.Array,           # (K, N) int8 kernel
+    w_scale: jax.Array,        # (N,) float32 per-channel scale
+    bias: Optional[jax.Array] = None,   # (N,) float32
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jax.Array:
+    """Weight-only int8 dense: full-precision activations x int8 kernel.
+
+    The kernel is stored int8 in HBM (half the bytes of bf16) and
+    dequantized on the fly — XLA fuses the convert+scale into the dot's
+    weight-operand load, so weight HBM traffic halves while activations
+    stay bf16.  This is the knob the r3/r4 ceiling analysis points at:
+    ~74% of the measured W8A8 step cost was dynamic activation-quant
+    STAGING traffic (PERFORMANCE.md "int8's ceiling"), which this scheme
+    simply does not have.  The matmul itself runs bf16 on the MXU (no 2x
+    int8 FLOP rate — the win is bandwidth, not FLOPs), and the only
+    numerics delta vs the bf16 baseline is the int8 rounding of the
+    weights (~0.4% relative), with NO per-token activation error.
+    """
+    out_dtype = out_dtype or x.dtype
+    w = (w_i8.astype(jnp.float32) * w_scale).astype(x.dtype)
+    y = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if bias is not None:
+        y = y + bias
+    return y.astype(out_dtype)
+
+
 def dense_w8a8(
     x: jax.Array,              # (..., K) float activations
     w_i8: jax.Array,           # (K, N) int8 kernel

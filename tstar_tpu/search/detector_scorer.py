@@ -118,7 +118,8 @@ class OwlVitScorer:
             from tstar_tpu.models.owlvit_quant import encode_image_int8
 
             feats = encode_image_int8(
-                qvision, pixels, model.cfg, dtype=model.dtype
+                qvision, pixels, model.cfg, dtype=model.dtype,
+                weight_only=self.config.detector_quant == "w8a16",
             )
         else:
             feats = model.apply(
@@ -146,6 +147,7 @@ class OwlVitScorer:
             feats = encode_image_int8(
                 self.qvision, None, self.model.cfg, dtype=self.model.dtype,
                 patch_embeds=patch_embeds,
+                weight_only=self.config.detector_quant == "w8a16",
             )
         else:
             feats = self.model.apply(
@@ -656,10 +658,10 @@ def _grid_kernel_mats(model: OwlViTDetector, cache_hw, config):
 
 def _weight_views(model: OwlViTDetector, variables: Any, config: SearchConfig):
     """-> (qvision, verify_model, verify_variables, qvision_verify)."""
-    if config.detector_quant is not None and config.detector_quant != "int8":
+    if config.detector_quant not in (None, "int8", "w8a16"):
         raise ValueError(
             f"unknown detector_quant={config.detector_quant!r}; "
-            "supported: None (bf16), 'int8'"
+            "supported: None (bf16), 'int8' (W8A8), 'w8a16' (weight-only)"
         )
     if config.detector_quant is None and config.verify_image_size in (
         None, model.cfg.vision.image_size,
@@ -674,7 +676,7 @@ def _weight_views(model: OwlViTDetector, variables: Any, config: SearchConfig):
         return hit[2:]
 
     qvision = None
-    if config.detector_quant == "int8":
+    if config.detector_quant in ("int8", "w8a16"):
         from tstar_tpu.models.owlvit_quant import quantize_vision_tower
 
         qvision = quantize_vision_tower(variables, model.cfg)

@@ -49,10 +49,13 @@ class SearchConfig:
     cue_weight: float = 0.5
     detector_threshold: float = 0.005  # OWL-ViT post-process score threshold
 
-    # Detector weight/activation quantization (ours; TPU int8 MXU runs at
-    # 2x the bf16 rate).  None = bf16 (production default); "int8" quantizes
-    # the OWL-ViT vision encoder's dense layers to W8A8 (models/
-    # owlvit_quant.py) — opt-in until validated on real released weights.
+    # Detector weight quantization (ours).  None = bf16 (production
+    # default); "int8" quantizes the OWL-ViT vision encoder's dense layers
+    # to W8A8 (models/owlvit_quant.py; int8 MXU at 2x the bf16 FLOP rate,
+    # but pays dynamic activation-quant staging); "w8a16" keeps activations
+    # bf16 and stores only the WEIGHTS int8, halving weight HBM traffic
+    # with no activation error — both opt-in until validated on real
+    # released weights.
     detector_quant: Optional[str] = None
 
     # Verification image size (ours; TPU throughput knob).  None = the
