@@ -120,8 +120,12 @@ class TestFrameCache:
         # short videos keep the full resolution
         assert fit_cache_hw((192, 384), 1024, 6 * 1024 ** 3) == (192, 384)
 
+        # Shrinking resolution is an explicit opt-in now
+        # (cache_mode="downscale"); the default routes over-budget videos to
+        # the full-resolution streaming cache (test_streaming_cache.py).
         path, _ = video
-        cfg = SearchConfig(cache_hw=(64, 128), grid_rows=4, grid_cols=4)
+        cfg = SearchConfig(cache_hw=(64, 128), grid_rows=4, grid_cols=4,
+                           cache_mode="downscale")
         cache = build_frame_cache(path, cfg, hbm_budget_bytes=40 * 48 * 80 * 3)
         assert cache.frames.shape[1] < 64 or cache.frames.shape[2] < 128 \
             or cache.frames.shape[1:3] == (32, 128)

@@ -99,11 +99,25 @@ def build_detector_grid(
     cell<->frame correspondence the score splat relies on
     (interface_searcher.py:296-306).
     """
+    return build_detector_grid_frames(
+        cache[secs], grid_shape, detector_size, dtype
+    )
+
+
+def build_detector_grid_frames(
+    frames: jax.Array,       # (K, ch, cw, 3) uint8 already-gathered frames
+    grid_shape: Tuple[int, int],
+    detector_size: int = 768,
+    dtype=jnp.bfloat16,
+) -> jax.Array:
+    """``build_detector_grid`` after the cache gather — the streaming-cache
+    path (video/cache.py StreamingFrameCache) supplies the K frames directly
+    (host seek-decode), so the two paths are pixel-identical by
+    construction."""
     import os
 
     rows, cols = grid_shape
     cell_h, cell_w = detector_size // rows, detector_size // cols
-    frames = cache[secs]                                   # (K, ch, cw, 3)
     cells = bilinear_resize(frames, (cell_h, cell_w))      # (K, h', w', 3)
     if os.environ.get("TSTAR_PREPROCESS_F32_PACK"):
         # previous order (f32 layout churn), kept for A/B measurement

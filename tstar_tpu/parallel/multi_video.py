@@ -224,6 +224,44 @@ def _per_video_history(history, i: int, n_valid: int) -> Dict:
     return out
 
 
+def _search_streaming_video(
+    task: VideoTask, heuristic, config: SearchConfig
+) -> Dict:
+    """One over-HBM-budget video searched via the host-paged streaming cache
+    (full cache_hw resolution, duration-independent memory — VERDICT r4
+    item 3).  Result schema matches ``_search_bucket``'s rows."""
+    from tstar_tpu.search.engine import run_search_streaming
+    from tstar_tpu.video.cache import build_frame_cache
+
+    stream_config = dataclasses.replace(config, cache_mode="streaming")
+    stream = build_frame_cache(task.video_path, stream_config)
+    try:
+        scorer = heuristic.build_scorer(
+            stream.frames, task.target_objects, task.cue_objects, config
+        )
+        state = init_state(
+            stream.n_valid, len(task.target_objects), config,
+            jax.random.key(task.seed), n_pad=stream.n_pad,
+        )
+        final, secs = run_search_streaming(state, scorer, stream, config)
+    finally:
+        stream.close()
+    secs = np.asarray(secs)
+    remaining = np.asarray(final.remaining)
+    return {
+        "video_path": task.video_path,
+        "keyframe_timestamps": sorted(
+            float(s) / config.sampling_fps for s in secs
+        ),
+        "keyframe_secs": secs.tolist(),
+        "keyframe_distribution": np.asarray(final.P)[: stream.n_valid].tolist(),
+        "remaining_targets": [
+            t for j, t in enumerate(task.target_objects) if remaining[j]
+        ],
+        "iterations": int(final.iteration),
+    }
+
+
 def search_videos(
     tasks: Sequence[VideoTask],
     heuristic,
@@ -246,11 +284,16 @@ def search_videos(
     buckets strictly serially — the ablation baseline).
 
     Each video's frame-cache HBM budget is the device pool divided by its
-    bucket's size (x2 pipelining concurrency — see ``per_video_hbm_budget``),
-    so large buckets of long videos auto-downscale their cache resolution
-    instead of OOMing; ``hbm_budget_bytes`` overrides the detected device
-    total.  All videos in a bucket share one padded length and one budget,
-    hence one cache resolution (``_search_bucket`` asserts this).
+    bucket's size (x2 pipelining concurrency — see ``per_video_hbm_budget``).
+    Videos whose FULL-resolution cache exceeds that budget are routed to the
+    host-paged streaming search (serial, after the batched buckets) so their
+    accuracy-bearing cache resolution is never silently reduced;
+    ``config.cache_mode='downscale'`` restores the legacy shrink-to-fit
+    behavior (VERDICT r4 item 3).  ``hbm_budget_bytes`` overrides the
+    detected device total.  All videos in a bucket share one padded length
+    and one budget, hence one cache resolution (``_search_bucket`` asserts
+    this).  The RESOURCE_EXHAUSTED retry still halves the budget as a LAST
+    resort — only after an actual on-chip OOM, never preemptively.
 
     Returns one dict per video, in task order:
     {"keyframe_timestamps", "keyframe_secs", "keyframe_distribution",
@@ -258,6 +301,40 @@ def search_videos(
     """
     config = config or SearchConfig()
     n_pads = [probe_video_length(t.video_path, config)[1] for t in tasks]
+
+    stream_idx: List[int] = []
+    if config.cache_mode in ("auto", "streaming"):
+        h, w = config.cache_hw
+        # Decide with each video's OWN bucket budget (the budget a bucket's
+        # videos would get if none streamed); removing streamed videos only
+        # GROWS the survivors' budgets, so no survivor flips over-budget.
+        for bucket in _bucket_indices(n_pads, bucket_by_length):
+            budget = per_video_hbm_budget(
+                len(bucket), total_bytes=hbm_budget_bytes
+            )
+            stream_idx += [
+                i for i in bucket
+                if config.cache_mode == "streaming"
+                or n_pads[i] * h * w * 3 > budget
+            ]
+        if stream_idx and collect_history:
+            logger.warning(
+                "search_videos: %d videos stream (full-resolution cache over "
+                "their bucket's per-video HBM budget); per-iteration "
+                "histories are not collected for streamed videos",
+                len(stream_idx),
+            )
+
+    results: List[Optional[Dict]] = [None] * len(tasks)
+    for i in stream_idx:
+        results[i] = _search_streaming_video(tasks[i], heuristic, config)
+    batched_idx = [i for i in range(len(tasks)) if i not in set(stream_idx)]
+    if not batched_idx:
+        return results
+    index_map = {j: i for j, i in enumerate(batched_idx)}
+    tasks = [tasks[i] for i in batched_idx]
+    n_pads = [n_pads[i] for i in batched_idx]
+
     buckets = _bucket_indices(n_pads, bucket_by_length)
     if len(buckets) > 1:
         logger.info(
@@ -279,7 +356,6 @@ def search_videos(
             path, config, hbm_budget_bytes=budget
         ).to_device()
 
-    results: List[Optional[Dict]] = [None] * len(tasks)
     with ThreadPoolExecutor(max_workers=max(1, decode_workers)) as pool:
         futures = {}
 
@@ -337,5 +413,5 @@ def search_videos(
                 ]
             del caches  # per-video frames already released by _search_bucket
             for i, r in zip(bucket, out):
-                results[i] = r
+                results[index_map[i]] = r
     return results

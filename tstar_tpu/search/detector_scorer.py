@@ -83,6 +83,13 @@ class OwlVitScorer:
         pytree_node=False, default=None
     )
     grid_proj_opt_in: bool = struct.field(pytree_node=False, default=False)
+    # Streaming-cache step buffer (video/cache.py StreamingFrameCache;
+    # engine.run_search_streaming): when set, frame gathers read THIS
+    # iteration's host-decoded frames instead of the device cache — the
+    # cache field then holds only a (1, ch, cw, 3) dummy so multi-hour
+    # videos never materialize in HBM.
+    step_frames: Optional[jax.Array] = None      # (K, ch, cw, 3) uint8
+    step_secs: Optional[jax.Array] = None        # (K,) int32
     # Folded resize+normalize matrices for the fused grid-embed Pallas path
     # (kernels/grid_embed.py — OPT-IN via TSTAR_GRID_EMBED=1; the r4 A/B
     # measured it e2e neutral, post-mortem in PERFORMANCE.md): width matrix
@@ -207,13 +214,36 @@ class OwlVitScorer:
             interpret=grid_embed_interpret(),
         )
 
+    def _gather_frames(self, secs: jax.Array) -> jax.Array:
+        """(K,) seconds -> (K, ch, cw, 3) uint8 frames.
+
+        Resident cache: a plain gather.  Streaming mode (``step_frames``
+        set): map each second to its row in this iteration's host-decoded
+        buffer — the engine always passes (subsets of) the step's sampled
+        seconds, so every second has exactly one matching row."""
+        if self.step_frames is not None:
+            idx = jnp.argmax(
+                secs[:, None] == self.step_secs[None, :], axis=1
+            )
+            return self.step_frames[idx]
+        return self.cache[secs]
+
     def _score_grid_full(
         self, secs: jax.Array
     ) -> Tuple[jax.Array, jax.Array, Tuple[jax.Array, jax.Array, jax.Array]]:
         cfg = self.config
         grid_shape = (cfg.grid_rows, cfg.grid_cols)
         size = self.model.cfg.vision.image_size
-        if self._use_grid_embed_kernel((1,) + self.cache.shape):
+        if self.step_frames is not None:
+            # streaming: the Pallas/composed preprocess variants all assume a
+            # device-resident cache; the plain frames path is the contract
+            from tstar_tpu.kernels.image import build_detector_grid_frames
+
+            scores, class_ids, boxes = self._detect(build_detector_grid_frames(
+                self._gather_frames(secs), grid_shape, size,
+                dtype=self.model.dtype,
+            ))
+        elif self._use_grid_embed_kernel((1,) + self.cache.shape):
             # Fused Pallas cache->embedding (single video as a B=1 batch);
             # reaches the batch gate only under TSTAR_GRID_EMBED=force.
             scores, class_ids, boxes = self._detect_embeds(
@@ -436,8 +466,13 @@ class OwlVitScorer:
         return conf.reshape(b, t), presence.reshape(b, t, -1)
 
     def score_verify(self, secs: jax.Array) -> Tuple[jax.Array, jax.Array]:
+        from tstar_tpu.kernels.image import bilinear_resize, normalize_clip
+
         size = self._verify_model.cfg.vision.image_size
-        pixels = build_verify_batch(self.cache, secs, size, dtype=self.model.dtype)
+        pixels = normalize_clip(
+            bilinear_resize(self._gather_frames(secs), (size, size)),
+            self.model.dtype,
+        )
         return self._score_verify_pixels(pixels)
 
     def score_verify_raw(self, frames: jax.Array) -> Tuple[jax.Array, jax.Array]:

@@ -235,10 +235,26 @@ def search_step(
     left to the caller (search/reference_verify.py runs it host-side from
     raw decoded frames, the reference's exact fidelity path).
     """
-    k = config.frames_per_iteration
     rng, sample_key = jax.random.split(state.rng)
-
     secs = sample_frame_secs(state, sample_key, config)
+    return presampled_search_step(
+        state, rng, secs, scorer, config, collect_detections,
+        apply_verification,
+    )
+
+
+def presampled_search_step(
+    state: SearchState, rng: jax.Array, secs: jax.Array, scorer: Scorer,
+    config: SearchConfig,
+    collect_detections: bool = False,
+    apply_verification: bool = True,
+) -> Tuple[SearchState, Dict[str, jax.Array]]:
+    """``search_step`` with the sampling hoisted out: the streaming-cache
+    driver (run_search_streaming) samples on device, fetches the seconds to
+    the host to seek-decode exactly those frames, then runs this step with
+    the already-split rng — bit-identical to ``search_step`` given the same
+    (rng, secs)."""
+    k = config.frames_per_iteration
     budget = state.budget - k
 
     detections = None
@@ -355,11 +371,76 @@ def run_search_chained(
     return state, secs
 
 
+def _split_and_sample(
+    state: SearchState, config: SearchConfig
+) -> Tuple[jax.Array, jax.Array]:
+    """(state) -> (next rng, sampled secs): the exact split ``search_step``
+    performs, hoisted so the streaming driver can decode before stepping."""
+    rng, sample_key = jax.random.split(state.rng)
+    return rng, sample_frame_secs(state, sample_key, config)
+
+
+def run_search_streaming(
+    state: SearchState,
+    scorer: Scorer,
+    stream,                      # video.cache.StreamingFrameCache
+    config: SearchConfig,
+) -> Tuple[SearchState, jax.Array]:
+    """Host-paged search for videos whose full-resolution frame cache exceeds
+    the HBM budget (VERDICT r4 item 3).
+
+    Memory is DURATION-INDEPENDENT — the reference's decode-on-demand
+    property (interface_searcher.py:157-169) — while the resolution stays at
+    the FULL configured cache_hw: per iteration the sampled seconds are
+    computed on device, fetched (a 16-int transfer), seek-decoded on the
+    host (native decoder batch path), and uploaded as the step's frame
+    buffer (~3.5 MB at the default cache_hw).  Trajectory-identical to the
+    resident-cache search: the sampling split, step math, and pixel pipeline
+    (decode -> cache_hw resize -> canvas) are the same code; only WHEN
+    frames are decoded differs.
+    """
+    import dataclasses as _dc
+
+    import numpy as np
+
+    if not hasattr(scorer, "step_frames"):
+        raise TypeError(
+            f"{type(scorer).__name__} does not support streaming caches "
+            "(needs step_frames/step_secs fields; use a detector scorer, or "
+            "cache_mode='resident'/'downscale' for table scorers)"
+        )
+    while bool(np.asarray(_continue_jit(state))):
+        state, rng_secs = _sample_jit(state, config)
+        secs_np = np.asarray(rng_secs[1])
+        frames = stream.gather_host(secs_np)
+        step_scorer = _dc.replace(
+            scorer,
+            step_frames=jax.device_put(frames),
+            step_secs=jnp.asarray(secs_np),
+        )
+        state = _presampled_jit(
+            state, rng_secs[0], rng_secs[1], step_scorer, config
+        )[0]
+    rng, pop_key = jax.random.split(state.rng)
+    state = state.replace(rng=rng)
+    secs = _pop_jit(state, pop_key, config)
+    return state, secs
+
+
+def _sample_for_stream(state: SearchState, config: SearchConfig):
+    """Pair (state, (rng, secs)) so ONE dispatch yields both; the state is
+    passed through untouched (the step consumes the returned rng)."""
+    return state, _split_and_sample(state, config)
+
+
 # Module-level jits so repeated searches in one process retrace once, not
 # per call (scorer/state are ARGUMENTS — see the HLO-constant note below).
 _masked_step_jit = jax.jit(masked_search_step, static_argnums=2)
 _pop_jit = jax.jit(pop_frame_secs, static_argnums=2)
 _step_jit = jax.jit(search_step, static_argnums=(2, 3))
+_presampled_jit = jax.jit(presampled_search_step, static_argnums=(4, 5))
+_sample_jit = jax.jit(_sample_for_stream, static_argnums=1)
+_continue_jit = jax.jit(_continue)
 
 
 def run_search_with_history(

@@ -144,14 +144,40 @@ class KeyframeSearcher:
         compute-bound worst case equal-or-better (1010 vs 999 f/s).  The
         single dispatch deletes the per-step host round-trip, which is the
         reference's own per-iteration overhead this framework exists to
-        remove (interface_searcher.py:444-491)."""
-        final, secs = _run_search_jit(self._state0, self.scorer, self.config)
+        remove (interface_searcher.py:444-491).
+
+        Streaming caches (multi-hour videos over the HBM budget,
+        video/cache.StreamingFrameCache) instead run the host-paged driver:
+        per-iteration seek-decode of exactly the sampled frames at FULL
+        resolution — duration-independent memory, same trajectory."""
+        from tstar_tpu.video.cache import StreamingFrameCache
+
+        if isinstance(self.cache, StreamingFrameCache):
+            from tstar_tpu.search.engine import run_search_streaming
+
+            final, secs = run_search_streaming(
+                self._state0, self.scorer, self.cache, self.config
+            )
+        else:
+            final, secs = _run_search_jit(
+                self._state0, self.scorer, self.config
+            )
         self._final_state = jax.device_get(final)
         self._record_final_history()
         return self._materialize(np.asarray(secs))
 
     def search_with_visualization(self) -> Tuple[List[np.ndarray], List[float]]:
         """Host-stepped search capturing per-iteration histories."""
+        from tstar_tpu.video.cache import StreamingFrameCache
+
+        if isinstance(self.cache, StreamingFrameCache):
+            raise ValueError(
+                "search_with_visualization requires a device-resident frame "
+                "cache (history grids re-render from cached frames); this "
+                "video streams because its full-resolution cache exceeds the "
+                "HBM budget. Use search(), or cache_mode='downscale' to "
+                "trade cache resolution for visualization."
+            )
         final, secs, history = run_search_with_history(
             self._state0, self.scorer, self.config
         )

@@ -117,6 +117,16 @@ class SearchConfig:
     # and width*3 % 128 == 0 so the fused Pallas grid builder can DMA frames
     # directly; also >= the 192px detector cell in both dims.
     cache_hw: Tuple[int, int] = (192, 384)
+    # Frame-cache residency policy (ours; VERDICT r4 item 3):
+    #   "auto"      — decode-once HBM cache when it fits the budget, else the
+    #                 host-paged STREAMING cache at FULL cache_hw resolution
+    #                 (duration-independent memory, like the reference's
+    #                 decode-on-demand, interface_searcher.py:157-169);
+    #   "resident"  — always decode-once to HBM (raises if over budget);
+    #   "streaming" — always page from host per iteration;
+    #   "downscale" — legacy r2-r4 behavior: shrink cache_hw until the HBM
+    #                 cache fits (accuracy-affecting; explicit opt-in now).
+    cache_mode: str = "auto"
 
     # --- engine behaviour (ours) ---
     deterministic_pop: bool = False   # True: top-k keyframes instead of sampled
