@@ -42,26 +42,44 @@ DTYPE_BYTES = {
     "c128": 16, "token": 0, "opaque": 0,
 }
 
-# one array shape, e.g. bf16[8,577,768]{2,1,0:T(8,128)(2,1)} or f32[] or pred[]
-_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](?:\{[^}]*\})?")
+# one array shape with optional layout braces, e.g.
+# bf16[8,577,768]{2,1,0:T(8,128)(2,1)S(1)} or f32[] or pred[]
+_SHAPE_RE = re.compile(r"(\w+)\[([\d,]*)\](\{[^}]*\})?")
 # an instruction line: %name = <shape-or-tuple> opcode(...)
 _INSTR_RE = re.compile(
     r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*(\(?.*?\)?)\s+([\w\-]+)\((.*)$"
 )
 
 
+def _one_shape_bytes(dtype: str, dims: str) -> int:
+    if dtype not in DTYPE_BYTES:
+        return 0
+    n = 1
+    if dims:
+        for d in dims.split(","):
+            n *= int(d)
+    return n * DTYPE_BYTES[dtype]
+
+
 def shape_bytes(shape_text: str) -> int:
-    """Total bytes of a shape string (array or tuple)."""
-    total = 0
-    for dtype, dims in _SHAPE_RE.findall(shape_text):
-        if dtype not in DTYPE_BYTES:
-            continue
-        n = 1
-        if dims:
-            for d in dims.split(","):
-                n *= int(d)
-        total += n * DTYPE_BYTES[dtype]
-    return total
+    """Total bytes of a shape string (array or tuple), any memory space."""
+    return sum(
+        _one_shape_bytes(dtype, dims)
+        for dtype, dims, _ in _SHAPE_RE.findall(shape_text)
+    )
+
+
+def shape_hbm_bytes(shape_text: str) -> int:
+    """Bytes of the HBM-resident parts only: scheduled TPU HLO annotates
+    scratch-space buffers with S(k) in the layout (S(1)=VMEM, S(2)=SMEM/
+    semaphores); buffers without an S() annotation live in the default
+    space — HBM.  XLA pins many inter-fusion activations in VMEM, and those
+    must NOT count as HBM traffic."""
+    return sum(
+        _one_shape_bytes(dtype, dims)
+        for dtype, dims, layout in _SHAPE_RE.findall(shape_text)
+        if "S(" not in (layout or "")
+    )
 
 
 def parse_hlo(text: str):
@@ -92,6 +110,16 @@ def parse_hlo(text: str):
         # operands: %references before any attribute list
         args_part = rest.split("),", 1)[0]
         operands = re.findall(r"%([\w.\-]+)", args_part)
+        param_index = None
+        if opcode == "parameter":
+            pm = re.match(r"\s*(\d+)", rest)
+            if pm:
+                param_index = int(pm.group(1))
+        target = None
+        if opcode == "custom-call":
+            tm = re.search(r'custom_call_target="([^"]+)"', rest)
+            if tm:
+                target = tm.group(1)
         called = re.findall(r"(?:calls|to_apply)=%?([\w.\-]+)", rest)
         branches = re.findall(
             r"(?:true_computation|false_computation|branch_computations)="
@@ -105,11 +133,43 @@ def parse_hlo(text: str):
         computations[current].append(
             {
                 "name": name, "shape": shape_text, "opcode": opcode,
-                "operands": operands,
+                "operands": operands, "param_index": param_index,
+                "target": target,
                 "called": called, "branches": branches, "cond_body": cond_body,
             }
         )
     return computations, fusion_bodies, entry
+
+
+# ops that read only SLICES of their first (table) operand, not the whole
+# buffer: a fusion parameter used exclusively this way contributes only the
+# sliced bytes to HBM traffic (the frame-cache gather is the big case — the
+# (B, N_pad, ch, cw, 3) cache is NOT re-read whole every step, only the K
+# sampled rows are).
+_SLICING_OPS = {"gather", "dynamic-slice"}
+
+
+def gather_param_reads(body_instrs) -> dict:
+    """{param_index: bytes actually read} for body parameters whose EVERY
+    use is the table operand of a gather/dynamic-slice."""
+    params = {
+        ins["name"]: ins["param_index"]
+        for ins in body_instrs
+        if ins["opcode"] == "parameter" and ins["param_index"] is not None
+    }
+    uses = {name: [] for name in params}
+    for ins in body_instrs:
+        for pos, o in enumerate(ins["operands"]):
+            if o in uses:
+                uses[o].append((ins, pos))
+    out = {}
+    for name, idx in params.items():
+        us = uses[name]
+        if us and all(
+            ins["opcode"] in _SLICING_OPS and pos == 0 for ins, pos in us
+        ):
+            out[idx] = sum(shape_bytes(ins["shape"]) for ins, _ in us)
+    return out
 
 
 SKIP_OPS = {
@@ -117,26 +177,39 @@ SKIP_OPS = {
     "after-all", "add-dependency", "partition-id", "replica-id", "iota",
     # async completion halves (bytes counted at the -start op)
     "copy-done", "all-reduce-done", "all-gather-done", "collective-permute-done",
-    "send-done", "recv-done", "fusion-done",
+    "send-done", "recv-done", "fusion-done", "async-done", "async-update",
 }
-CONTROL_OPS = {"while", "conditional", "call", "async-start", "async-done"}
+# custom-calls that move no data (markers / bitcast concatenation / index
+# packing): the consumer of their output counts the actual read
+FREE_CUSTOM_TARGETS = {
+    "AssumeGatherIndicesInBound", "ConcatBitcast",
+    "GatherScatterIndicesBitpacked", "Sharding",
+}
 
 
 def comp_bytes(comp_name, computations, fusion_bodies, shapes, memo, top=None):
-    """HBM bytes of one executed computation (recursing into control flow)."""
+    """HBM bytes of one executed computation (recursing into control flow).
+
+    ``shapes`` maps (comp, instr) -> (total_bytes, hbm_bytes); reads count an
+    operand's HBM part (VMEM-pinned producers are free), writes count the
+    output's HBM part.  Slicing ops (gather / dynamic-slice / slice — incl.
+    the async weight-streaming DMAs) read only the sliced bytes.
+    """
     if comp_name in memo:
         return memo[comp_name]
     memo[comp_name] = 0  # cycle guard
     total = 0
+
+    def recurse(c):
+        return comp_bytes(c, computations, fusion_bodies, shapes, memo, top)
+
     for ins in computations.get(comp_name, []):
         op = ins["opcode"]
         if op in SKIP_OPS:
             continue
         if op == "while":
             for c in ins["cond_body"]:
-                total += comp_bytes(
-                    c, computations, fusion_bodies, shapes, memo, top
-                )
+                total += recurse(c)
             continue
         if op == "conditional":
             branch_names = []
@@ -146,22 +219,45 @@ def comp_bytes(comp_name, computations, fusion_bodies, shapes, memo, top=None):
                 ]
             branch_names += ins["called"]
             if branch_names:
-                total += min(
-                    comp_bytes(c, computations, fusion_bodies, shapes, memo, top)
-                    for c in branch_names
-                )
+                total += min(recurse(c) for c in branch_names)
             continue
-        if op == "call":
+        if op in ("call", "async-start"):
+            # async-start wraps one real instruction (e.g. the slice DMAs
+            # that stream weight blocks HBM->VMEM); its own output tuple is
+            # operand aliases + context, so count only the wrapped body.
             for c in ins["called"]:
-                total += comp_bytes(
-                    c, computations, fusion_bodies, shapes, memo, top
-                )
+                total += recurse(c)
             continue
-        out_b = shape_bytes(ins["shape"])
-        in_b = sum(shapes.get((comp_name, o), 0) for o in ins["operands"])
-        total += out_b + in_b
-        if top is not None:
-            top[f"{comp_name}/{ins['name']}:{op}"] += out_b + in_b
+        if op == "custom-call" and ins.get("target") in FREE_CUSTOM_TARGETS:
+            continue
+        out_total, out_hbm = shapes.get((comp_name, ins["name"]), (0, 0))
+        if op == "copy-start":
+            # output tuple = (dest, source-alias, context): HBM parts cover
+            # exactly the read (source in HBM) + write (dest in HBM)
+            bytes_moved = out_hbm
+            total += bytes_moved
+            if top is not None and bytes_moved:
+                top[f"{comp_name}/{ins['name']}:{op}"] += bytes_moved
+            continue
+        sliced = {}
+        if op == "fusion" and ins["called"]:
+            sliced = gather_param_reads(computations.get(ins["called"][0], []))
+        elif op in _SLICING_OPS:
+            sliced = {0: out_total}
+        in_b = 0
+        seen = set()
+        for i, o in enumerate(ins["operands"]):
+            if o in seen:   # aliased repeats (fused q|k|v views) read once
+                continue
+            seen.add(o)
+            full_total, full_hbm = shapes.get((comp_name, o), (0, 0))
+            if i in sliced:
+                in_b += min(full_hbm, sliced[i])
+            else:
+                in_b += full_hbm
+        total += out_hbm + in_b
+        if top is not None and (out_hbm + in_b):
+            top[f"{comp_name}/{ins['name']}:{op}"] += out_hbm + in_b
     memo[comp_name] = total
     return total
 
@@ -172,7 +268,9 @@ def module_hbm_bytes(text: str):
     shapes = {}
     for cname, instrs in computations.items():
         for ins in instrs:
-            shapes[(cname, ins["name"])] = shape_bytes(ins["shape"])
+            shapes[(cname, ins["name"])] = (
+                shape_bytes(ins["shape"]), shape_hbm_bytes(ins["shape"])
+            )
     top = defaultdict(int)
     memo = {}
     total = comp_bytes(entry, computations, fusion_bodies, shapes, memo, top)
@@ -188,7 +286,25 @@ def main():
     ap.add_argument("--hbm_gbps", type=float, default=819.0,
                     help="device HBM bandwidth (v5e: 819 GB/s)")
     ap.add_argument("--out", default=None, help="write JSON here too")
+    ap.add_argument("--dump_hlo", default=None,
+                    help="write the scheduled HLO text here after compile")
+    ap.add_argument("--from_hlo", default=None,
+                    help="skip compile; account a previously dumped module")
     args = ap.parse_args()
+
+    if args.from_hlo:
+        with open(args.from_hlo) as f:
+            text = f.read()
+        hbm_bytes, top = module_hbm_bytes(text)
+        print(json.dumps({
+            "hbm_bytes_per_step": hbm_bytes,
+            "t_mem_ms": round(hbm_bytes / (args.hbm_gbps * 1e9) * 1e3, 3),
+            "top_traffic_mib": {
+                k.split("/")[-1]: round(v / 2**20, 1)
+                for k, v in list(top.items())[:20]
+            },
+        }))
+        return
 
     import jax
     import jax.numpy as jnp
@@ -246,6 +362,9 @@ def main():
     step = jax.jit(batched_search_step, static_argnums=2)
     compiled = step.lower(stacked, bsc, cfg).compile()
     text = compiled.as_text()
+    if args.dump_hlo:
+        with open(args.dump_hlo, "w") as f:
+            f.write(text)
     hbm_bytes, top = module_hbm_bytes(text)
 
     # Compute leg: per-image encoder+predict FLOPs from cost_analysis (its

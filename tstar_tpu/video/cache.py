@@ -7,8 +7,13 @@ device memory as a ``(N_pad, cache_h, cache_w, 3)`` uint8 tensor.  Every
 subsequent search iteration is pure on-device compute — the reference instead
 re-opens the video and decodes per iteration (``:157-169,361``).
 
-At the default 192x384 cache resolution a one-hour video is ~800 MB of HBM;
-longer videos should lower ``SearchConfig.cache_hw`` or page (future work).
+At the default 192x384 cache resolution a one-hour video is ~800 MB of HBM.
+Videos whose full-resolution cache exceeds the HBM budget page instead:
+``StreamingFrameCache`` seek-decodes exactly each iteration's sampled seconds
+at FULL resolution (duration-independent memory, the reference's
+decode-on-demand property), driven by ``engine.run_search_streaming``.
+Shrinking the cache resolution to fit (``fit_cache_hw``) is an explicit
+opt-in via ``SearchConfig.cache_mode='downscale'``.
 """
 
 from __future__ import annotations
