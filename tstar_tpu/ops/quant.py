@@ -69,15 +69,24 @@ def dense_w8a16(
     """Weight-only int8 dense: full-precision activations x int8 kernel.
 
     The kernel is stored int8 in HBM (half the bytes of bf16) and
-    dequantized on the fly — XLA fuses the convert+scale into the dot's
-    weight-operand load, so weight HBM traffic halves while activations
-    stay bf16.  This is the knob the r3/r4 ceiling analysis points at:
-    ~74% of the measured W8A8 step cost was dynamic activation-quant
-    STAGING traffic (PERFORMANCE.md "int8's ceiling"), which this scheme
-    simply does not have.  The matmul itself runs bf16 on the MXU (no 2x
-    int8 FLOP rate — the win is bandwidth, not FLOPs), and the only
-    numerics delta vs the bf16 baseline is the int8 rounding of the
-    weights (~0.4% relative), with NO per-token activation error.
+    dequantized on the fly before the dot; activations stay bf16, so the
+    scheme has none of the dynamic activation-quant staging that the r3
+    ceiling analysis identified as ~74% of the W8A8 step cost
+    (PERFORMANCE.md "int8's ceiling").  The matmul itself runs bf16 on the
+    MXU (no 2x int8 FLOP rate), and the only numerics delta vs the bf16
+    baseline is the int8 rounding of the weights (~0.4% relative), with NO
+    per-token activation error.
+
+    MEASURED (r5, scripts/ab_w8a16.py): an end-to-end LOSS at every batch
+    and regime — 2-6% below plain bf16 (see PERFORMANCE.md "Weight-only
+    int8 (W8A16)").  The hoped-for bandwidth win never materializes: consistent
+    with the r3 int8-dequant matvec post-mortem, XLA does not stream the
+    convert+scale through the dot's weight operand — the dequantized bf16
+    kernel is materialized, so the weight path costs
+    int8-read + bf16-write + bf16-read instead of one bf16 read — and at
+    production batches weight bytes are a minor share of step traffic
+    anyway (activations dominate).  Kept opt-in as the tighter-numerics
+    rung (``detector_quant='w8a16'``), not a perf knob.
     """
     out_dtype = out_dtype or x.dtype
     w = (w_i8.astype(jnp.float32) * w_scale).astype(x.dtype)

@@ -53,9 +53,9 @@ class SearchConfig:
     # default); "int8" quantizes the OWL-ViT vision encoder's dense layers
     # to W8A8 (models/owlvit_quant.py; int8 MXU at 2x the bf16 FLOP rate,
     # but pays dynamic activation-quant staging); "w8a16" keeps activations
-    # bf16 and stores only the WEIGHTS int8, halving weight HBM traffic
-    # with no activation error — both opt-in until validated on real
-    # released weights.
+    # bf16 and stores only the WEIGHTS int8 — tighter numerics than W8A8
+    # but a measured 2-6% e2e perf LOSS vs bf16 (PERFORMANCE.md r5
+    # post-mortem) — both opt-in until validated on real released weights.
     detector_quant: Optional[str] = None
 
     # Verification image size (ours; TPU throughput knob).  None = the
