@@ -28,6 +28,15 @@ are temporal P/R/F1 @5s (bench/metrics.py) plus agreement diagnostics.
 
     python scripts/ab_knob_recall.py [--scenes 8] [--seeds 4] [--cal-seeds 4]
 
+With ``--checkpoint_dir`` the A/B instead loads REAL OWL-ViT weights and
+runs the knobs at the checkpoint's native geometry (verify 512/384 against
+the native verify resolution) on the same planted scenes — absolute P/R on
+synthetic blocks is not meaningful for released weights, but the
+keyframe-overlap / recall DELTAS between knobs and bf16 are exactly the
+question the knobs raise.  The real-checkpoint gate
+(tests/test_real_checkpoints.py::test_knob_recall_ab_with_real_weights)
+drives this path the day weights land.
+
 Prints one JSON line.  tests/test_knob_recall.py pins the harness.
 """
 
@@ -97,10 +106,21 @@ def main():
     ap.add_argument("--scenes", type=int, default=8)
     ap.add_argument("--seeds", type=int, default=4)
     ap.add_argument("--cal-seeds", type=int, default=4)
-    ap.add_argument("--knobs", default="bf16,verify128,verify96,int8,w8a16,int8_verify128")
+    ap.add_argument("--checkpoint_dir", default=None,
+                    help="real OWL-ViT HF checkpoint dir: run the knobs at "
+                         "native geometry (verify 512/384) instead of the "
+                         "calibrated scaled-geometry detector")
+    ap.add_argument("--knobs", default=None)
     args = ap.parse_args()
 
     import jax
+
+    # Hermetic self-tests drive this script as a subprocess; the machine's
+    # sitecustomize force-registers the TPU backend, so an env var alone
+    # cannot keep the child on CPU (CLAUDE.md) — honor an explicit opt-out.
+    if os.environ.get("TSTAR_FORCE_CPU"):
+        jax.config.update("jax_platforms", "cpu")
+
     import jax.numpy as jnp
 
     from tstar_tpu.bench.metrics import temporal_prf
@@ -109,24 +129,46 @@ def main():
     from tstar_tpu.video.synthetic import PlantedObject, write_synthetic_video
 
     base = SearchConfig(search_budget=1.0)
-    h, cal_seed, margin = pick_calibrated_heuristic(base, args.cal_seeds, jnp)
-    cfg0 = dataclasses.replace(
-        base,
-        detector_threshold=h.suggested_detector_threshold,
-        confidence_threshold=h.suggested_confidence_threshold,
-    )
+    if args.checkpoint_dir:
+        from tstar_tpu.framework.heuristics import OwlVitHeuristic
+
+        h = OwlVitHeuristic(checkpoint_dir=args.checkpoint_dir,
+                            dtype=jnp.float32)
+        cal_seed, margin = -1, None
+        cfg0 = base  # reference thresholds; real weights need no calibration
+        geometry = (f"native checkpoint dims ({args.checkpoint_dir}); "
+                    "verify512/verify384 vs the native verify resolution")
+        lo, hi = 512, 384
+        knob_names = dict(lo="verify512", hi="verify384",
+                          combo="int8_verify512")
+    else:
+        h, cal_seed, margin = pick_calibrated_heuristic(
+            base, args.cal_seeds, jnp
+        )
+        cfg0 = dataclasses.replace(
+            base,
+            detector_threshold=h.suggested_detector_threshold,
+            confidence_threshold=h.suggested_confidence_threshold,
+        )
+        geometry = ("S577 (image 192 / patch 8); verify128==2/3 (mirrors "
+                    "512/768), verify96==1/2 (mirrors 384/768)")
+        lo, hi = 128, 96
+        knob_names = dict(lo="verify128", hi="verify96",
+                          combo="int8_verify128")
 
     knob_cfgs = {
         "bf16": cfg0,
-        "verify128": dataclasses.replace(cfg0, verify_image_size=128),
-        "verify96": dataclasses.replace(cfg0, verify_image_size=96),
+        knob_names["lo"]: dataclasses.replace(cfg0, verify_image_size=lo),
+        knob_names["hi"]: dataclasses.replace(cfg0, verify_image_size=hi),
         "int8": dataclasses.replace(cfg0, detector_quant="int8"),
         "w8a16": dataclasses.replace(cfg0, detector_quant="w8a16"),
-        "int8_verify128": dataclasses.replace(
-            cfg0, detector_quant="int8", verify_image_size=128
+        knob_names["combo"]: dataclasses.replace(
+            cfg0, detector_quant="int8", verify_image_size=lo
         ),
     }
-    knobs = [k for k in args.knobs.split(",") if k in knob_cfgs]
+    wanted = (args.knobs.split(",") if args.knobs
+              else list(knob_cfgs))
+    knobs = [k for k in wanted if k in knob_cfgs]
 
     rng = np.random.default_rng(0)
     d = tempfile.mkdtemp(prefix="knob_recall_")
@@ -142,10 +184,10 @@ def main():
         scenes.append((path, start))
 
     out = {
-        "geometry": "S577 (image 192 / patch 8); verify128==2/3 (mirrors 512/768), "
-                    "verify96==1/2 (mirrors 384/768)",
+        "geometry": geometry,
+        "weights": "real" if args.checkpoint_dir else "calibrated-random",
         "cal_seed": cal_seed,
-        "cal_min_margin": round(margin, 4),
+        "cal_min_margin": None if margin is None else round(margin, 4),
         "scenes": args.scenes,
         "seeds": args.seeds,
         "knobs": {},

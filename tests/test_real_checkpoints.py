@@ -17,7 +17,10 @@ with ZERO new code:
   * the LV-Haystack local-JSON eval through the dataset CLI with a real
     detector;
   * the verification-fidelity A/B (``scripts/verify_ab.py``) with real
-    weights, recording the cache-vs-reference-resolution drift.
+    weights, recording the cache-vs-reference-resolution drift;
+  * the throughput-knob recall A/B (``scripts/ab_knob_recall.py
+    --checkpoint_dir``) at native geometry — verify@512/384, int8, w8a16
+    keyframe/recall deltas vs bf16 (r5).
 
 Without ``TSTAR_CKPT_ROOT`` everything here skips green — except the two
 self-tests at the bottom, which fabricate a tiny-but-real HF checkpoint
@@ -323,6 +326,36 @@ def test_lv_haystack_local_eval_with_real_detector(data_dir):
 
 
 @pytest.mark.parametrize("ckpt_dir", _params("owlvit"))
+def test_knob_recall_ab_with_real_weights(ckpt_dir):
+    """Runs the throughput-knob recall A/B (scripts/ab_knob_recall.py) at
+    the checkpoint's NATIVE geometry — verify@512/384, int8, w8a16 — and
+    records the keyframe-overlap / recall deltas vs the bf16 default.
+    Completes the r5 hermetic A/B (PERFORMANCE.md "Knob recall A/B") with
+    real weights the day they land."""
+    proc = subprocess.run(
+        [sys.executable, "scripts/ab_knob_recall.py",
+         "--checkpoint_dir", ckpt_dir, "--scenes", "2", "--seeds", "2"],
+        cwd=REPO, capture_output=True, text=True, timeout=3600,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert json_lines, proc.stdout[-2000:]
+    report = json.loads(json_lines[-1])
+    assert report["weights"] == "real"
+    assert set(report["knobs"]) >= {"bf16", "verify512", "verify384",
+                                    "int8", "w8a16"}
+    for knob, e in report["knobs"].items():
+        assert "recall_delta_vs_bf16" in e
+        if knob != "bf16":
+            assert "keyframe_overlap_vs_bf16" in e
+    print("\nknob recall deltas (real weights): " + ", ".join(
+        f"{k}: Δrecall {e['recall_delta_vs_bf16']:+.3f}, overlap "
+        f"{e.get('keyframe_overlap_vs_bf16', 1.0):.3f}"
+        for k, e in report["knobs"].items() if k != "bf16"
+    ))
+
+
+@pytest.mark.parametrize("ckpt_dir", _params("owlvit"))
 def test_verify_ab_drift_with_real_weights(ckpt_dir):
     proc = subprocess.run(
         [sys.executable, "scripts/verify_ab.py",
@@ -401,3 +434,53 @@ def test_gate_parity_path_on_fabricated_checkpoint(tmp_path):
 
     drift = run_owlvit_parity(str(tmp_path), atol=5e-4)
     assert drift < 5e-4
+
+
+def test_gate_knob_ab_path_on_fabricated_checkpoint(tmp_path):
+    """Drives scripts/ab_knob_recall.py --checkpoint_dir end-to-end on a
+    fabricated tiny HF checkpoint — the exact invocation
+    test_knob_recall_ab_with_real_weights makes on weights-day (reduced to
+    bf16 vs int8, 1 scene x 1 seed, to keep the hermetic suite fast)."""
+    torch = pytest.importorskip("torch")
+    transformers = pytest.importorskip("transformers")
+    pytest.importorskip("safetensors")
+    pytest.importorskip("cv2")
+    from safetensors.torch import save_file
+
+    from tests.test_zz_checkpoint_readiness import _write_clip_vocab
+
+    hf_cfg = transformers.OwlViTConfig(
+        text_config=dict(
+            vocab_size=49408, hidden_size=24, num_hidden_layers=2,
+            num_attention_heads=4, intermediate_size=48,
+            max_position_embeddings=16,
+        ),
+        vision_config=dict(
+            hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, patch_size=16, image_size=64,
+        ),
+        projection_dim=24,
+    )
+    torch.manual_seed(0)
+    tm = transformers.OwlViTForObjectDetection(hf_cfg).eval()
+    save_file(
+        {k: v.contiguous() for k, v in tm.state_dict().items()},
+        str(tmp_path / "model.safetensors"),
+    )
+    (tmp_path / "config.json").write_text(hf_cfg.to_json_string())
+    _write_clip_vocab(tmp_path)
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/ab_knob_recall.py",
+         "--checkpoint_dir", str(tmp_path),
+         "--scenes", "1", "--seeds", "1", "--knobs", "bf16,int8"],
+        cwd=REPO, capture_output=True, text=True, timeout=1800,
+        env={**os.environ, "TSTAR_FORCE_CPU": "1"},
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    json_lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
+    assert json_lines, proc.stdout[-2000:]
+    report = json.loads(json_lines[-1])
+    assert report["weights"] == "real"
+    assert set(report["knobs"]) == {"bf16", "int8"}
+    assert "keyframe_overlap_vs_bf16" in report["knobs"]["int8"]
