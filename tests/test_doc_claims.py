@@ -89,14 +89,64 @@ def test_range_sizing_invariants():
 
 def test_regeneration_is_fixed_point():
     """Running the claim regenerator against the committed docs must be a
-    no-op: the in-tree claims ARE what the latest bench artifact derives.
-    (This is what keeps a future round from committing hand-edited numbers
-    that drift from the artifact.)"""
+    no-op: the in-tree claims ARE what their PROVENANCE artifact (README's
+    "round-N run" note) derives — no hand-edited numbers.  Regeneration is
+    pinned to the provenance artifact, NOT the latest one: the driver drops
+    a new BENCH_r{N}.json AFTER a round's final commit, and exact-text
+    stability against an unseen artifact is impossible (the r3/r4 red-suite
+    failure mode).  Currency vs the latest artifact is the tolerance-based
+    ``check()``, covered by test_readme_claims_match_latest_bench."""
     mod = _load_checker()
     texts = mod.regenerate(write=False, verbose=False)
     for fname, new in texts.items():
         old = open(os.path.join(REPO, fname)).read()
         assert new == old, f"{fname} claims are not regeneration-stable"
+
+
+def test_survives_driver_written_next_round_artifact():
+    """Simulate the end-of-round sequence that turned rounds 3 and 4 red:
+    after the final commit, the driver benches and writes a NEWER
+    BENCH_r{N}.json whose numbers moved by run-to-run variance (±8% here).
+    The committed tree must stay green: check() absorbs the drift within
+    tolerance, and the fixed-point regeneration still derives from the
+    provenance artifact, unchanged."""
+    mod = _load_checker()
+
+    def perturb(node, f):
+        if isinstance(node, dict):
+            return {k: perturb(v, f) for k, v in node.items()}
+        if isinstance(node, list):
+            return [perturb(v, f) for v in node]
+        if isinstance(node, float):
+            return node * f
+        return node
+
+    real_path, real = mod.latest_bench()
+    fake = perturb(real, 1.08)
+    orig_latest, orig_all = mod.latest_bench, mod.all_benches
+    mod.latest_bench = lambda: ("BENCH_r99.json", fake)
+    mod.all_benches = lambda: orig_all() + [("BENCH_r99.json", fake)]
+    try:
+        _, failures = mod.check(verbose=False)
+        assert not failures, "tree goes red on a +8% driver artifact:\n" + "\n".join(failures)
+        texts = mod.regenerate(write=False, verbose=False)
+        for fname, new in texts.items():
+            old = open(os.path.join(REPO, fname)).read()
+            assert new == old, (
+                f"{fname}: provenance-pinned regeneration changed when a "
+                f"newer artifact appeared"
+            )
+    finally:
+        mod.latest_bench, mod.all_benches = orig_latest, orig_all
+
+    # and an 8% swing DOWN
+    fake_dn = perturb(real, 0.92)
+    mod.latest_bench = lambda: ("BENCH_r99.json", fake_dn)
+    try:
+        _, failures = mod.check(verbose=False)
+        assert not failures, "tree goes red on a -8% driver artifact:\n" + "\n".join(failures)
+    finally:
+        mod.latest_bench = orig_latest
 
 
 def test_coverage_carries_no_raw_perf_numbers():
