@@ -67,7 +67,7 @@ def main():
         owlvit_base_patch32,
         postprocess_detections,
     )
-    from tstar_tpu.parallel.batched import run_search_batched_chained
+    from tstar_tpu.parallel.batched import run_search_batched_auto
     from tstar_tpu.search.detector_scorer import OwlVitScorer, make_owlvit_scorer
     from tstar_tpu.search.engine import run_search
     from tstar_tpu.search.state import init_state
@@ -245,7 +245,10 @@ def main():
             batched_scorer, stacked = make_batched(B, cfg_flat, scorer_all, 100)
 
             def runB(bsc=batched_scorer, st=stacked):
-                finals, secs = run_search_batched_chained(
+                # Batched drivers route by the measured dispatch crossover
+                # (one-dispatch while_loop at B <= 16, chained above;
+                # scripts/ab_batched_dispatch.py r5).
+                finals, secs = run_search_batched_auto(
                     st, bsc, cfg, max_iterations=iters
                 )
                 np.asarray(secs)  # host fetch: the only reliable fence (run1)
@@ -340,7 +343,7 @@ def main():
             bsc_nv, stacked_nv = make_batched(B, cfg_nv, scorer_nv, 200)
 
             def run_nv_b(bsc=bsc_nv, stacked=stacked_nv):
-                finals, secs = run_search_batched_chained(
+                finals, secs = run_search_batched_auto(
                     stacked, bsc, cfg_nv, max_iterations=iters
                 )
                 np.asarray(secs)

@@ -371,12 +371,10 @@ _batched_step_hist_jit = jax.jit(
 _batched_pop_jit = jax.jit(_batched_pop, static_argnums=1)
 
 
-def run_search_batched(
-    states: SearchState,          # leading axis B on every leaf
-    scorer,                       # per-video leaves batched on axis 0
-    config: SearchConfig,
+def _run_search_batched_impl(
+    states: SearchState, scorer, config: SearchConfig
 ) -> Tuple[SearchState, jax.Array]:
-    """Search all videos to completion; returns (final states, secs (B, K))."""
+    """Jit body of ``run_search_batched`` (no mesh guard — see the wrapper)."""
     axes = scorer_batch_axes(scorer)
 
     def cond(ss):
@@ -385,13 +383,58 @@ def run_search_batched(
     def body(ss):
         return batched_search_step(ss, scorer, config, in_axes=axes)
 
+    final = jax.lax.while_loop(cond, body, states)
+
+    def pop_one(state):
+        rng, key = jax.random.split(state.rng)
+        state = state.replace(rng=rng)
+        return state, pop_frame_secs(state, key, config)
+
+    return jax.vmap(pop_one)(final)
+
+
+_batched_while_jit = jax.jit(_run_search_batched_impl, static_argnums=2)
+
+
+def run_search_batched(
+    states: SearchState,          # leading axis B on every leaf
+    scorer,                       # per-video leaves batched on axis 0
+    config: SearchConfig,
+) -> Tuple[SearchState, jax.Array]:
+    """Search all videos to completion as ONE device dispatch; returns
+    (final states, secs (B, K)).
+
+    The whole search is a single jitted ``lax.while_loop`` with the scorer
+    passed as a jit ARGUMENT — the frame caches and weights must never be
+    closed over (they would become HLO constants and trip the relay's
+    payload limit).  The mesh guard runs OUTSIDE the jit so per-shard kernel
+    gates still see the states' concrete shardings (inside the trace they
+    are tracers and would infer the (1, 1) default)."""
     with _mesh_info_guard(states):
-        final = jax.lax.while_loop(cond, body, states)
+        return _batched_while_jit(states, scorer, config)
 
-        def pop_one(state):
-            rng, key = jax.random.split(state.rng)
-            state = state.replace(rng=rng)
-            return state, pop_frame_secs(state, key, config)
 
-        final, secs = jax.vmap(pop_one)(final)
-    return final, secs
+# Measured dispatch crossover (scripts/ab_batched_dispatch.py, r5,
+# interleaved pairs on a v5e): the one-dispatch while_loop beats the
+# host-chained driver while steps are short enough that the per-step
+# dispatch round-trip through the tunneled attachment cannot pipeline —
+# B=1 sparse +53% (r4, ab_b1_dispatch.py), B=8 sparse +2.5%, B=16 sparse
+# +0.4%, B=8 worst-case +0.9%; by B=24 (~24 ms steps) chaining fully
+# overlaps and wins back 0.6%.
+DISPATCH_WHILE_LOOP_MAX_BATCH = 16
+
+
+def run_search_batched_auto(
+    states: SearchState,
+    scorer,
+    config: SearchConfig,
+    max_iterations: int,
+) -> Tuple[SearchState, jax.Array]:
+    """Batched search via the measured-fastest driver for the batch size:
+    one-dispatch while_loop at B <= 16, host-chained steps above.  Both
+    drivers are bit-identical in results (asserted by the A/B harness and
+    tests/test_parallel.py)."""
+    B = states.P.shape[0]
+    if B <= DISPATCH_WHILE_LOOP_MAX_BATCH:
+        return run_search_batched(states, scorer, config)
+    return run_search_batched_chained(states, scorer, config, max_iterations)

@@ -31,7 +31,7 @@ import numpy as np
 
 from tstar_tpu.parallel.batched import (
     _PER_VIDEO_FIELDS as PER_VIDEO_FIELDS,
-    run_search_batched_chained,
+    run_search_batched_auto,
     stack_scorers,
 )
 from tstar_tpu.parallel.mesh import DATA_AXIS
@@ -160,7 +160,7 @@ def _search_bucket(
             stacked, batched_scorer, batched_config, max_iterations=max_iters
         )
     else:
-        finals, secs = run_search_batched_chained(
+        finals, secs = run_search_batched_auto(
             stacked, batched_scorer, batched_config, max_iterations=max_iters
         )
     secs = np.asarray(secs)
