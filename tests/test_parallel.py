@@ -109,6 +109,60 @@ class TestBatchedSearch:
         assert not bool(np.asarray(finals.remaining)[0].any())
         assert bool(np.asarray(finals.remaining)[1].any())
 
+    def test_auto_driver_routing_and_identity(self, monkeypatch):
+        """The measured-crossover driver (r5): run_search_batched_auto must
+        route B <= DISPATCH_WHILE_LOOP_MAX_BATCH to the one-dispatch
+        while_loop and larger B to the host-chained driver, and both forms
+        must return bit-identical keyframes (the property the on-chip A/B
+        asserts, scripts/ab_batched_dispatch.py)."""
+        from tstar_tpu.parallel import batched
+
+        n_videos, n_valid = 2, 200
+        n_pad = CFG.padded_frames(n_valid)
+        iters = CFG.iteration_cap(n_valid)
+        batched_scorer, _ = _make_table_scorers(n_videos, n_valid, n_pad)
+        states = _stack_states([
+            init_state(n_valid, 1, CFG, jax.random.key(i), n_pad=n_pad)
+            for i in range(n_videos)
+        ])
+
+        finals_w, secs_w = batched.run_search_batched_auto(
+            states, batched_scorer, CFG, max_iterations=iters
+        )
+        finals_c, secs_c = batched.run_search_batched_chained(
+            states, batched_scorer, CFG, max_iterations=iters
+        )
+        np.testing.assert_array_equal(np.asarray(secs_w), np.asarray(secs_c))
+        np.testing.assert_array_equal(
+            np.asarray(finals_w.iteration), np.asarray(finals_c.iteration)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(finals_w.scores), np.asarray(finals_c.scores)
+        )
+
+        # Routing: tag each underlying driver and flip the crossover.
+        calls = []
+        real_while, real_chained = (
+            batched.run_search_batched, batched.run_search_batched_chained
+        )
+        monkeypatch.setattr(
+            batched, "run_search_batched",
+            lambda *a, **k: (calls.append("while"), real_while(*a, **k))[1],
+        )
+        monkeypatch.setattr(
+            batched, "run_search_batched_chained",
+            lambda *a, **k: (calls.append("chained"), real_chained(*a, **k))[1],
+        )
+        batched.run_search_batched_auto(
+            states, batched_scorer, CFG, max_iterations=iters
+        )
+        assert calls == ["while"]          # B=2 <= crossover
+        monkeypatch.setattr(batched, "DISPATCH_WHILE_LOOP_MAX_BATCH", 1)
+        batched.run_search_batched_auto(
+            states, batched_scorer, CFG, max_iterations=iters
+        )
+        assert calls == ["while", "chained"]
+
 
 class TestShardedExecution:
     def test_dp_tp_sharded_batched_search_step(self):
